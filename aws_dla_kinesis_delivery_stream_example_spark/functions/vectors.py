@@ -1,0 +1,53 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+All pure JVM built-ins (`zip_with`/`aggregate`/`transform`) — no
+Python UDF in the hot path. The fold order is the array order, so the
+double accumulation is bit-deterministic and reproducible by the
+DuckDB oracle (which folds in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    """Σ a_i·b_i accumulated in double, in array order."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a) -> Column:
+    """L2 norm: sqrt(Σ a_i²)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity in double precision."""
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def sign_bucket(a, n_bits: int = 3) -> Column:
+    """Coarse IVF-style bucket id from the sign pattern of the first
+    ``n_bits`` dimensions (2**n_bits buckets). A deterministic stand-in
+    for a trained coarse quantizer: at 100 TB the candidate set shrinks
+    by ~2**n_bits and the join key becomes the bucket id, so the ANN
+    probe is a co-partitioned equi-join instead of a full cross join.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    bucket = F.lit(0)
+    for i in range(1, n_bits + 1):
+        bucket = bucket + F.when(F.element_at(a, i) > 0, F.lit(2 ** (n_bits - i))).otherwise(F.lit(0))
+    return bucket

@@ -1,0 +1,207 @@
+"""Deduplication operators (SURVEY.md §2.11).
+
+Four tiers, all shuffle-frugal by construction:
+
+- exact:      one hash-aggregate on the dedup key (map-side combine).
+- ngram:      exact Jaccard over distinct word shingles; linear-ish
+              self-join because word 5-grams are near-unique.
+- minhash:    MinHash + LSH banding — candidate pairs come from a
+              band-bucket equi-join (no quadratic pair enumeration),
+              then exact-Jaccard verification on candidates only.
+- simhash:    64-bit sign fingerprint; near-dup candidates share a
+              16-bit chunk (Hamming<=3-style banding), verified by
+              true Hamming distance.
+
+Everything is built-in expressions + joins — no Python UDF — so the
+plan is whole-stage-codegen end to end. At 100 TB: shingling is a
+narrow map; the only shuffles are groupBy(doc) for signatures and the
+band-key join, both on bounded-width keys. Reference parity: the
+reference has no dedup; this is the mandated extension surface
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import word_shingles, words
+
+# Mersenne prime 2^31-1: universal-hash modulus; xxhash64 gives the base
+# shingle hash (folded into the 31-bit field so a*h never overflows
+# int64 under ANSI arithmetic). All constants fixed => deterministic
+# across runs/nodes.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per duplicate group (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row)."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 5
+) -> DataFrame:
+    """(id, signature array<long>) — min over n universal hashes of the
+    shingle set. One narrow map + one groupBy(id) aggregate."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    # h_i(x) = (a_i*x + b_i) mod p, fixed odd a_i / b_i derived from i.
+    mins = [
+        F.min(F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(1_000_003 * (i + 1)), F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("signature"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, equi-join on
+    (band_idx, band_hash) to get candidates, verify candidates with the
+    estimated Jaccard = fraction of matching minhashes.
+
+    Returns (doc_a, doc_b, est_jaccard >= threshold). The LSH join is
+    the 100 TB path: candidates ~ true-positive pairs, never all pairs.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("signature", i * rows + 1, rows)) for i in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_hashes))
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as (id, bits array<int> of 0/1, chunks array<long>).
+
+    bit_j = sign of Σ_tokens (2*((xxhash64(token)>>j)&1) - 1); the four
+    16-bit chunks are the banding keys (two fingerprints within Hamming
+    distance 3 share at least one chunk — pigeonhole).
+    """
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("token"))
+    tok = tok.withColumn("h", F.xxhash64("token"))
+    votes = tok.select(
+        "doc",
+        *[
+            (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            for j in range(64)
+        ],
+    )
+    agg = votes.groupBy("doc").agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(64)])
+    bits = [F.when(F.col(f"s{j}") > 0, 1).otherwise(0).alias(f"b{j}") for j in range(64)]
+    with_bits = agg.select("doc", *bits)
+    chunk_exprs = []
+    for c in range(4):
+        expr = F.lit(0).cast("long")
+        for j in range(16):
+            expr = expr + F.col(f"b{c * 16 + j}").cast("long") * F.lit(1 << j)
+        chunk_exprs.append(expr.alias(f"chunk{c}"))
+    return with_bits.select(
+        "doc",
+        F.array(*[f"b{j}" for j in range(64)]).alias("bits"),
+        F.array(*[c for c in chunk_exprs]).alias("chunks"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share a 16-bit chunk at the
+    same position (equi-join), verified by exact Hamming distance."""
+    sig = simhash_signatures(df, id_col, text_col)
+    banded = sig.select("doc", "bits", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

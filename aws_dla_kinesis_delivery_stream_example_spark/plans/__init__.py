@@ -1,0 +1,9 @@
+from .catalog import REGISTRY, QuerySpec, all_specs, query
+
+# Importing the plan modules populates REGISTRY.
+from . import relational  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+from . import delivery  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "all_specs", "query"]

@@ -1,0 +1,406 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11): dedup, text analysis,
+similarity search over documents/embeddings. SQL-expressible variants
+carry a DuckDB oracle; hash-based ops (MinHash/SimHash — DuckDB can't
+reproduce xxhash64) are rows-only and instead verified against exact
+Jaccard in the pytest suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import cosine, norm2, sign_bucket
+from ..operators import dedup, similarity
+from ..sources.tables import load_table
+from .catalog import query
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "q25_dedup_exact",
+    oracle="""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id
+    """,
+    description="Exact dedup: one hash-aggregate on the text key, "
+    "deterministic min-id survivor",
+    tags=("llm", "dedup"),
+)
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "q26_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(tk, i, i + 4), ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        WHERE jaccard >= 0.1
+        ORDER BY doc_a, doc_b
+    """,
+    description="Exact word-5-gram Jaccard pairs (>= 0.1); shingle "
+    "self-join stays near-linear because word 5-grams are near-unique",
+    tags=("llm", "dedup"),
+)
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.0)
+    return (
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 3).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q27_minhash_lsh_dedup",
+    oracle=None,  # xxhash64-based: not DuckDB-reproducible; verified in
+    # tests/test_llm_ops.py against exact shingle Jaccard.
+    description="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
+    "estimated Jaccard >= 0.5 — the scale path for shingle dedup",
+    tags=("llm", "dedup", "rows-only"),
+)
+def q27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 3).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q28_simhash_dedup",
+    oracle=None,  # xxhash64-based; Hamming property tested in pytest.
+    description="SimHash-64 near-dup pairs (Hamming <= 3) via 16-bit chunk "
+    "banding equi-join",
+    tags=("llm", "dedup", "rows-only"),
+)
+def q28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q29_text_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|and|to|is|in|that|it)\\b')) AS BIGINT) AS n_stop,
+               round(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|and|to|is|in|that|it)\\b')) AS DOUBLE)
+                     / nullif(len(regexp_extract_all(text, '\\S+')), 0), 3) AS stop_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Per-document token / punctuation / stopword stats — "
+    "pure codegen'd regex expressions at scan speed",
+    tags=("llm", "text"),
+)
+def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = TX.token_count("text")
+    n_stop = TX.stopword_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        TX.punct_count("text").alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)), 3).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q30_quality_filter",
+    oracle="""
+        SELECT doc_id,
+               round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / length(text), 3) AS alpha_ratio,
+               n_chars
+        FROM documents
+        WHERE lang = 'en'
+          AND n_chars BETWEEN 100 AND 5000
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.6
+        ORDER BY doc_id
+    """,
+    description="Language + length + alpha-ratio quality gate (the "
+    "training-data quality filter pattern)",
+    tags=("llm", "text"),
+)
+def q30_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ar = TX.alpha_ratio("text")
+    return (
+        docs.filter(
+            (F.col("lang") == "en") & F.col("n_chars").between(100, 5000) & (ar >= 0.6)
+        )
+        .select("doc_id", F.round(ar, 3).alias("alpha_ratio"), "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q31_token_totals",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT) AS total_tokens,
+               round(avg(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))), 2) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="BPE-ish token accounting per language (corpus sizing)",
+    tags=("llm", "text"),
+)
+def q31_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = TX.bpe_token_count("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(nt).alias("total_tokens"),
+            F.round(F.avg(nt), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q32_lang_id",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE
+                 WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) >= 2 THEN 'en'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) >= 2 THEN 'de'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(el|la|los|es|de)\\b')) >= 2 THEN 'es'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(le|les|est|et|une)\\b')) >= 2 THEN 'fr'
+                 ELSE 'other'
+               END AS lang_guess
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="N-gram-heuristic language ID (stopword voting) compared "
+    "against the labeled lang column",
+    tags=("llm", "text"),
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hits(pat: str):
+        return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+
+    guess = (
+        F.when(hits(r"\b(the|and|of|to|is)\b") >= 2, "en")
+        .when(hits(r"\b(der|die|das|und|ist)\b") >= 2, "de")
+        .when(hits(r"\b(el|la|los|es|de)\b") >= 2, "es")
+        .when(hits(r"\b(le|les|est|et|une)\b") >= 2, "fr")
+        .otherwise("other")
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_DUCK = (
+    "list_sum(list_transform(generate_series(1, len(q_emb)), "
+    "i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_C = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "q33_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q_id, vec_id,
+                   {_DOT_DUCK} / ({_NORM_Q} * {_NORM_C}) AS cos
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn
+        FROM ranked WHERE rn <= 10
+        ORDER BY q_id, rn
+    """,
+    description="Brute-force exact top-10 cosine per query (broadcast "
+    "query set, linear candidate scan) — the ANN correctness baseline",
+    tags=("llm", "similarity"),
+)
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = similarity.as_queries(emb.filter(F.col("vec_id") < 5))
+    return similarity.brute_force_topk(emb, queries, k=10).orderBy("q_id", "rn")
+
+
+@query(
+    "q34_ivf_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id, embedding,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q_id, vec_id,
+                   {_DOT_DUCK} / ({_NORM_Q} * {_NORM_C}) AS cos
+            FROM c JOIN q USING (bucket)
+            WHERE vec_id <> q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn
+        FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn
+    """,
+    description="IVF-style bucketed ANN: sign-pattern coarse quantizer "
+    "turns the probe into a co-partitionable equi-join (the 100 TB path)",
+    tags=("llm", "similarity"),
+)
+def q34_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = similarity.as_queries(emb.filter(F.col("vec_id") < 5))
+    return similarity.ivf_topk(emb, queries, k=5, n_bits=3).orderBy("q_id", "rn")
+
+
+@query(
+    "q35_embedding_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               round(avg(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS avg_norm,
+               CAST(min(len(embedding)) AS BIGINT) AS dim
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    description="Embedding hygiene stats per label: L2 norms and "
+    "dimensionality, computed with array folds (no UDF)",
+    tags=("llm", "similarity"),
+)
+def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(norm2("embedding")), 3).alias("avg_norm"),
+            F.min(F.size("embedding")).cast("long").alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q36_embedding_dedup",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket
+            FROM embeddings
+        )
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                   AS cos_sim
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        WHERE cos_sim >= 0.95
+        ORDER BY vec_a, vec_b
+    """,
+    description="Embedding-cosine near-dup pairs (>= 0.95) via the sign-"
+    "bucket equi-join — no quadratic cross join in the plan",
+    tags=("llm", "dedup", "similarity"),
+)
+def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(emb, threshold=0.0, n_bits=3)
+    return (
+        pairs.select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.95)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "q37_doc_fingerprint",
+    oracle=None,  # xxhash64-based rolling fingerprint; rows-only.
+    description="Document fingerprinting: xxhash64 content hash + "
+    "sign-bucket of the token-hash profile (fast exact-dup key)",
+    tags=("llm", "text", "rows-only"),
+)
+def q37_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("content_hash"),
+        F.xxhash64(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("normalized_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,111 @@
+"""JSON-lines producer/source (SURVEY.md §2.1 S1-S4).
+
+The reference's producer writes newline-terminated JSON records with a
+partition key taken from a record field
+(data_producer/multi_process_producer.py:41-47). Locally the "stream"
+is a directory of JSON-line files the streaming reader tails; on a
+real cluster the same pipeline binds to the Kinesis connector —
+see ``kinesis_reader`` (stubbed: connector jar not in this image).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.serde import BANK_ACCOUNT_SCHEMA
+
+
+def generate_bank_accounts(spark: SparkSession, n: int, partitions: int = 10) -> DataFrame:
+    """Deterministic bank_account generator (S2 parity: the reference's
+    Faker-based producer, multi_process_producer.py:31-40). Built on
+    ``spark.range`` so generation is distributed, never driver-side."""
+    first = F.concat(F.lit("First"), (F.col("id") % 97).cast("string"))
+    last = F.concat(F.lit("Last"), (F.col("id") % 89).cast("string"))
+    desc = F.concat(
+        F.lit("account holder number "),
+        F.col("id").cast("string"),
+        F.lit(" with a ten word description sentence attached here"),
+    )
+    return (
+        spark.range(n)
+        # partition key = record id field, hashed to `partitions` shards
+        # (S4 parity: 10 provisioned shards, iac/s2_app.py:710-717)
+        .repartition(partitions, "id")
+        .select(
+            F.md5(F.col("id").cast("string")).alias("id"),
+            first.alias("firstname"),
+            last.alias("lastname"),
+            desc.alias("description"),
+            F.lit(0).cast("long").alias("balance"),
+        )
+    )
+
+
+def produce_jsonlines(df: DataFrame, out_dir: str, n_files: int | None = None) -> str:
+    """S1 parity: land records as JSON-line files (the put_records batch
+    -> the source dir). One file per partition = one put_records batch."""
+    writer = df.coalesce(n_files) if n_files else df
+    writer.write.mode("append").json(out_dir)
+    return out_dir
+
+
+def drop_batch(df: DataFrame, out_dir: str) -> str:
+    """Land one more micro-batch file set into a live source dir."""
+    sub = os.path.join(out_dir)  # same dir: file source picks up new files
+    df.write.mode("append").json(sub)
+    return sub
+
+
+def jsonlines_stream(spark: SparkSession, source_dir: str, schema=None, max_files: int = 1000):
+    return (
+        spark.readStream.schema(schema or BANK_ACCOUNT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .json(source_dir)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 2500):
+    """B5 parity: paced producer (~100 rec/s per worker in the
+    reference) as Spark's rate source."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.md5(F.col("value").cast("string")).alias("id"),
+            F.concat(F.lit("First"), (F.col("value") % 97).cast("string")).alias("firstname"),
+            F.concat(F.lit("Last"), (F.col("value") % 89).cast("string")).alias("lastname"),
+            F.lit("rate source generated record description text").alias("description"),
+            F.lit(0).cast("long").alias("balance"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+
+
+def kinesis_reader(spark: SparkSession, stream_name: str, region: str = "us-east-1"):
+    """S3 binding on a real cluster: Structured Streaming Kinesis source.
+    The connector jar (e.g. spark-sql-kinesis) is not in this image, so
+    this raises with instructions rather than failing obscurely."""
+    try:
+        return (
+            spark.readStream.format("aws-kinesis")
+            .option("kinesis.streamName", stream_name)
+            .option("kinesis.region", region)
+            .option("kinesis.startingposition", "LATEST")
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - connector absent locally
+        raise NotImplementedError(
+            "Kinesis connector jar not on classpath; add a "
+            "spark-sql-kinesis connector package and retry"
+        ) from exc
+
+
+def unique_dir(base: str) -> str:
+    d = os.path.join(base, uuid.uuid4().hex[:12])
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -1,0 +1,207 @@
+"""The delivery pipeline (SURVEY.md §2.4 B1-B5, §2.5 K1-K8).
+
+One Structured Streaming query per delivery stream; its foreachBatch
+body performs, on each micro-batch (= the Firehose buffer flush):
+
+1. raw backup write (K3: S3BackupMode Enabled — *pre-transform* rows)
+2. transform (T1/T2 protocol from .transform)
+3. status routing: OK -> success sink (K1), ProcessingFailed -> error
+   sink (K2), Dropped -> discarded (F1)
+4. optional document sink (K4: the OpenSearch role — local impl is a
+   keyed parquet dir; real cluster impl would bulk-index via
+   opensearch-py in the same foreachBatch)
+
+Two-destination fan-out (K5) = two DeliveryPipeline instances off the
+same source directory, each with its own checkpoint — exactly the
+reference's two Firehose streams consuming one Kinesis stream
+(kds_example/iac/s2_app.py:314-316, :837-839).
+
+Buffering parity (B1/B2/B4): Firehose's 60 s / 5 MB flush maps to
+``trigger(processingTime=...)`` — the documented deviation is that
+size-based flush is approximated by the trigger interval plus
+``maxFilesPerTrigger`` on the source (SURVEY.md §4.2a).
+
+Exactly-once: checkpoint + idempotent file sink, strictly stronger
+than the reference's at-least-once + recordId reconciliation (§2.9).
+Retry (K7): one bounded retry around the document-sink write, then
+rows route to the error prefix — reference NumberOfRetries=1
+(kds_example/iac/s2_app.py:353-356).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import serde
+from .transform import STATUS_DROPPED, STATUS_FAILED, STATUS_OK, apply_transform
+
+# Sink layout mirrors the reference's S3 prefixes
+# (kds_example/iac/s2_app.py:804-808).
+PREFIX_BACKUP = "01-backup"
+PREFIX_BACKUP_FAILED = "02-backup-failed"
+PREFIX_SUCCESS = "03-success"
+PREFIX_FAILED = "04-failed"
+
+
+@dataclass
+class DeliveryResult:
+    """Per-run counters (the reference's reconciliation numbers,
+    README.rst:113-124)."""
+
+    n_input: int = 0
+    n_ok: int = 0
+    n_dropped: int = 0
+    n_failed: int = 0
+    n_batches: int = 0
+    doc_sink_retries: int = 0
+
+    def reconciled(self) -> bool:
+        return self.n_input == self.n_ok + self.n_dropped + self.n_failed
+
+
+@dataclass
+class DeliveryPipeline:
+    """source dir of JSON-line files -> transform -> routed sinks."""
+
+    spark: SparkSession
+    source_dir: str
+    dest_dir: str
+    payload_schema: T.StructType = field(default_factory=lambda: serde.BANK_ACCOUNT_SCHEMA)
+    transform_fn: Callable[[dict], dict] | None = None
+    document_sink: bool = False
+    trigger_seconds: int | None = None  # None => availableNow (drain & stop)
+    max_files_per_trigger: int | None = None
+    doc_sink_failure_injector: Callable[[int], bool] | None = None  # test hook
+
+    def __post_init__(self) -> None:
+        self.result = DeliveryResult()
+
+    # -- paths ------------------------------------------------------------
+    def path(self, prefix: str) -> str:
+        return os.path.join(self.dest_dir, prefix)
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.dest_dir, "_checkpoint")
+
+    # -- the micro-batch body (the Lambda-invoke equivalent) --------------
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n_input = batch_df.count()
+            if n_input == 0:
+                return
+            # K3: raw backup BEFORE transform.
+            batch_df.write.mode("append").json(self.path(PREFIX_BACKUP))
+
+            with_json = batch_df.withColumn(
+                "json_line", F.to_json(F.struct(*batch_df.columns))
+            )
+            if self.transform_fn is not None:
+                transformed = apply_transform(with_json, fn=self.transform_fn)
+            else:  # identity fast path: stays fully JVM-side (T3/T4)
+                transformed = apply_transform(
+                    with_json, declarative={"payload": F.col("json_line")}
+                )
+            transformed = transformed.persist()
+
+            ok = transformed.filter(F.col("status") == STATUS_OK)
+            failed = transformed.filter(F.col("status") == STATUS_FAILED)
+
+            # K1: success sink — one JSON-lines "object" per partition per
+            # flush, exactly the Firehose buffer-flush layout.
+            ok.select(F.col("payload")).write.mode("append").text(self.path(PREFIX_SUCCESS))
+            # K2: error sink keeps the ORIGINAL payload.
+            failed.select(F.col("payload")).write.mode("append").text(self.path(PREFIX_FAILED))
+
+            if self.document_sink:
+                self._write_documents(ok, batch_id)
+
+            self.result.n_input += n_input
+            self.result.n_ok += ok.count()
+            self.result.n_failed += failed.count()
+            self.result.n_dropped = (
+                self.result.n_input - self.result.n_ok - self.result.n_failed
+            )
+            self.result.n_batches += 1
+            transformed.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    def _write_documents(self, ok: DataFrame, batch_id: int) -> None:
+        """K4: document sink with one bounded retry (K7)."""
+        docs = ok.select(
+            F.get_json_object("payload", "$.id").alias("id"), F.col("payload")
+        )
+        attempts = 0
+        while True:
+            try:
+                if self.doc_sink_failure_injector and self.doc_sink_failure_injector(attempts):
+                    raise IOError("injected document-sink failure")
+                docs.write.mode("append").parquet(self.path("documents"))
+                return
+            except Exception:
+                attempts += 1
+                self.result.doc_sink_retries += 1
+                if attempts > 1:  # NumberOfRetries=1 parity
+                    # fall to error output, original payloads preserved
+                    ok.select("payload").write.mode("append").text(self.path(PREFIX_FAILED))
+                    return
+
+    # -- run ---------------------------------------------------------------
+    def run(self, await_termination: bool = True):
+        """Start the streaming query. With trigger_seconds=None uses
+        availableNow (drain the source and stop — the test/bench mode)."""
+        reader = (
+            self.spark.readStream.schema(self.payload_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .json(self.source_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._process_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if self.trigger_seconds is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        query = writer.start()
+        if await_termination and self.trigger_seconds is None:
+            query.awaitTermination()
+        return query
+
+    # -- inspection surface (SURVEY.md §2.7 A1-A2, §2.8 Q1-Q2) -------------
+    def count_sink_records(self, prefix: str) -> int:
+        """A1 parity: records = JSON lines under the prefix."""
+        try:
+            return self.spark.read.text(self.path(prefix)).count()
+        except Exception:
+            return 0
+
+    def count_sink_objects(self, prefix: str) -> int:
+        """A2 parity: number of sink files (one per partition per flush)."""
+        p = self.path(prefix)
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            1
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+
+    def read_success(self) -> DataFrame:
+        """Q1 parity: match-all read of the success sink."""
+        return self.spark.read.schema(self.payload_schema).json(self.path(PREFIX_SUCCESS))
+
+    def count_documents(self) -> int:
+        """A3/Q2 parity: document-sink count."""
+        try:
+            return self.spark.read.parquet(self.path("documents")).count()
+        except Exception:
+            return 0

@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="engine-tests", extra_conf={"spark.driver.memory": "16g"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE

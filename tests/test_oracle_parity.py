@@ -1,0 +1,44 @@
+"""t2 gate rehearsal: every catalog query with an oracle must match
+DuckDB exactly at sf0.001 (the driver runs the same check at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+from .conftest import SF_SMOKE
+from .oracle_utils import compare
+
+SPECS = all_specs()
+WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, name):
+    spec = SPECS[name]
+    df = spec.spark(spark, SF_SMOKE)
+    ok, msg = compare(df, spec.oracle, SF_SMOKE)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    spec = SPECS[name]
+    df = spec.spark(spark, SF_SMOKE)
+    assert df.count() >= 0  # runs and has a stable schema
+    assert len(df.columns) > 0
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25
