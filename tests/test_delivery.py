@@ -1,0 +1,140 @@
+"""Delivery-pipeline tests (SURVEY.md §5.2 items 1-2): golden
+round-trip, status routing, zero-loss reconciliation, exactly-once,
+fan-out — the reference's own test strategy generalized."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_dla_kinesis_delivery_stream_example_spark.sources.jsonlines import (
+    generate_bank_accounts,
+    produce_jsonlines,
+)
+from aws_dla_kinesis_delivery_stream_example_spark.streaming.delivery import (
+    PREFIX_BACKUP,
+    PREFIX_FAILED,
+    PREFIX_SUCCESS,
+    DeliveryPipeline,
+)
+from aws_dla_kinesis_delivery_stream_example_spark.streaming.transform import DropIt
+
+N = 2000
+
+
+def _transform(rec: dict) -> dict:
+    if rec["firstname"].endswith("7"):
+        raise DropIt()
+    if rec["lastname"].endswith("3"):
+        raise ValueError("boom")
+    rec["balance"] = rec["balance"] + 1
+    return rec
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("delivery") / "src")
+    produce_jsonlines(generate_bank_accounts(spark, N, partitions=10), src)
+    return src
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, source_dir, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("delivery") / "d1")
+    p = DeliveryPipeline(spark, source_dir, dest, transform_fn=_transform, document_sink=True)
+    p.run()
+    return p
+
+
+def _read_lines(spark, path):
+    return [json.loads(r.value) for r in spark.read.text(path).collect()]
+
+
+def test_reconciliation(pipeline):
+    """Zero-loss: input == OK + Dropped + ProcessingFailed (README.rst:113-124)."""
+    r = pipeline.result
+    assert r.n_input == N
+    assert r.reconciled()
+    assert r.n_dropped > 0 and r.n_failed > 0 and r.n_ok > 0
+
+
+def test_sink_counts_match_statuses(spark, pipeline):
+    r = pipeline.result
+    assert pipeline.count_sink_records(PREFIX_SUCCESS) == r.n_ok
+    assert pipeline.count_sink_records(PREFIX_FAILED) == r.n_failed
+    assert pipeline.count_sink_records(PREFIX_BACKUP) == r.n_input  # K3 raw backup
+    assert pipeline.count_documents() == r.n_ok  # K4 document sink
+    assert pipeline.count_sink_objects(PREFIX_SUCCESS) > 0  # A2
+
+
+def test_failed_sink_preserves_original_payload(spark, source_dir, pipeline):
+    """ProcessingFailed routes the ORIGINAL record (kds_helper.py:49-51)."""
+    src = {r["id"]: r for r in _read_lines(spark, source_dir)}
+    failed = _read_lines(spark, pipeline.path(PREFIX_FAILED))
+    assert failed and all(src[r["id"]] == r for r in failed)
+
+
+def test_transform_applied_to_ok(spark, pipeline):
+    ok = _read_lines(spark, pipeline.path(PREFIX_SUCCESS))
+    assert ok and all(r["balance"] == 1 for r in ok)
+
+
+def test_exactly_once_rerun(spark, pipeline):
+    """Re-running on the same checkpoint adds nothing (stronger than the
+    reference's at-least-once, SURVEY.md §2.9)."""
+    before = pipeline.count_sink_records(PREFIX_SUCCESS)
+    pipeline.run()
+    assert pipeline.count_sink_records(PREFIX_SUCCESS) == before
+
+
+def test_identity_fanout_golden_roundtrip(spark, source_dir, tmp_path):
+    """Second delivery stream off the same source (K5) with the identity
+    transform: output == input byte-for-byte (tests/test_lbd_to_s3.py
+    golden-roundtrip parity)."""
+    p2 = DeliveryPipeline(spark, source_dir, str(tmp_path / "d2"))
+    p2.run()
+    src = {r["id"]: r for r in _read_lines(spark, source_dir)}
+    out = _read_lines(spark, p2.path(PREFIX_SUCCESS))
+    assert len(out) == N
+    assert all(src[r["id"]] == r for r in out)
+
+
+def test_doc_sink_retry(spark, source_dir, tmp_path):
+    """K7: one bounded retry, then success."""
+    p = DeliveryPipeline(
+        spark,
+        source_dir,
+        str(tmp_path / "d3"),
+        document_sink=True,
+        doc_sink_failure_injector=lambda attempt: attempt == 0,
+    )
+    p.run()
+    assert p.result.doc_sink_retries == 1
+    assert p.count_documents() == N
+
+
+def test_incremental_batch_pickup(spark, pipeline, source_dir):
+    """New files landing in the source dir are consumed incrementally."""
+    produce_jsonlines(generate_bank_accounts(pipeline.spark, 100, partitions=2), source_dir)
+    pipeline.run()
+    assert pipeline.result.n_input == N + 100
+    assert pipeline.result.reconciled()
+    assert pipeline.count_sink_records(PREFIX_BACKUP) == N + 100
+
+
+def test_unicode_roundtrip(spark, tmp_path):
+    """ensure_ascii=False parity: non-ASCII survives the serde raw,
+    not as \\uXXXX escapes (D2, kds_helper.py:15)."""
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("ü-1", "Ünïcode", "Tëst", "日本語テキスト", 0)],
+        "id string, firstname string, lastname string, description string, balance long",
+    )
+    produce_jsonlines(df, src)
+    p = DeliveryPipeline(spark, src, str(tmp_path / "out"))
+    p.run()
+    raw = spark.read.text(p.path(PREFIX_SUCCESS)).collect()[0].value
+    assert "日本語テキスト" in raw and "\\u" not in raw
+    assert json.loads(raw)["firstname"] == "Ünïcode"
