@@ -47,9 +47,12 @@ def shingle_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # Shingling is the expensive narrow map and feeds three consumers
+    # (sizes + both join sides): materialize it once. At 100 TB this is
+    # a staging table write, not a cache — same idea, explicit storage.
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
+    ).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -108,10 +111,15 @@ def minhash_near_duplicates(
     the 100 TB path: candidates ~ true-positive pairs, never all pairs.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # Signature computation (shingle + 64 min-aggs) feeds both join
+    # sides — materialize once (staging table at 100 TB).
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist()
+    # Narrow band join: only (doc, band) rows shuffle; the 64-long
+    # signatures re-attach AFTER pair dedup, so candidate multiplicity
+    # never multiplies the signature payload (the shuffle-size property
+    # that matters at 100 TB).
     banded = sig.select(
         "doc",
-        "signature",
         F.posexplode(
             F.array(*[F.xxhash64(F.slice("signature", i * rows + 1, rows)) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
@@ -124,14 +132,12 @@ def minhash_near_duplicates(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -143,44 +149,51 @@ def minhash_near_duplicates(
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash as (id, bits array<int> of 0/1, chunks array<long>).
+    """64-bit SimHash packed into ONE long: (doc, sig, chunks array<int>).
 
     bit_j = sign of Σ_tokens (2*((xxhash64(token)>>j)&1) - 1); the four
     16-bit chunks are the banding keys (two fingerprints within Hamming
-    distance 3 share at least one chunk — pigeonhole).
+    distance 3 share at least one chunk — pigeonhole). Packing into a
+    long keeps pair-join rows ~24 bytes and makes Hamming distance a
+    single ``bit_count(xor)`` — the layout that survives 100 TB: the
+    candidate shuffle moves fixed-width keys, never arrays.
     """
+    from functools import reduce
+
     tok = df.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("token"))
     tok = tok.withColumn("h", F.xxhash64("token"))
-    votes = tok.select(
-        "doc",
+    agg = tok.groupBy("doc").agg(
         *[
-            (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
             for j in range(64)
-        ],
+        ]
     )
-    agg = votes.groupBy("doc").agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(64)])
-    bits = [F.when(F.col(f"s{j}") > 0, 1).otherwise(0).alias(f"b{j}") for j in range(64)]
-    with_bits = agg.select("doc", *bits)
-    chunk_exprs = []
-    for c in range(4):
-        expr = F.lit(0).cast("long")
-        for j in range(16):
-            expr = expr + F.col(f"b{c * 16 + j}").cast("long") * F.lit(1 << j)
-        chunk_exprs.append(expr.alias(f"chunk{c}"))
-    return with_bits.select(
-        "doc",
-        F.array(*[f"b{j}" for j in range(64)]).alias("bits"),
-        F.array(*[c for c in chunk_exprs]).alias("chunks"),
+
+    def bit(j: int):
+        return F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    # Two 32-bit halves OR-combined (shiftleft wraps bits — no ANSI
+    # overflow on the sign bit, unlike multiplication by 1<<63).
+    lo = reduce(lambda acc, j: acc.bitwiseOR(F.shiftleft(bit(j), j)), range(32), F.lit(0).cast("long"))
+    hi = reduce(lambda acc, j: acc.bitwiseOR(F.shiftleft(bit(32 + j), j)), range(32), F.lit(0).cast("long"))
+    sig = F.shiftleft(hi, 32).bitwiseOR(lo)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(sig, 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for c in range(4)
+        ]
     )
+    return agg.select("doc", sig.alias("sig"), chunks.alias("chunks"))
 
 
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a 16-bit chunk at the
-    same position (equi-join), verified by exact Hamming distance."""
-    sig = simhash_signatures(df, id_col, text_col)
-    banded = sig.select("doc", "bits", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
+    same position (equi-join on the band key), verified by exact
+    Hamming distance = bit_count(sig_a XOR sig_b)."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    banded = sig.select("doc", "sig", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -192,16 +205,12 @@ def simhash_near_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

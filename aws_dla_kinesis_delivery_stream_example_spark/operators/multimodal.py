@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..shipping import ensure_shipped
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -111,6 +113,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 }
             )
 
+    ensure_shipped(media.sparkSession)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -1,39 +1,51 @@
 """Similarity search over embedding columns (SURVEY.md §2.11).
 
-Two strategies with the same output contract (query_id, vec_id, score):
+Execution strategy: JVM expressions are kept for bucketing/ranking,
+but the dot products run as Arrow-batched numpy GEMM — embeddings
+cross the JVM<->Python boundary ONCE per vector (not once per pair),
+and BLAS does the pairwise math. This is deliberately NOT a
+per-pair higher-order-function fold: interpreted HOFs allocate per
+pair and fall off the codegen fast path.
 
-- brute_force_topk: broadcast the (small) query set against the
-  candidate scan; per-query top-k via window row_number. Linear in
-  candidates — the exact baseline.
+Strategies, same output contract (q_id, vec_id, cos_sim, rn):
+
+- brute_force_topk: score matrix C@Q.T per candidate partition
+  (mapInPandas), then per-query top-k via window row_number. Linear
+  in candidates — the exact baseline. Queries are small by contract
+  (they ride into the closure like a broadcast variable).
 - ivf_topk: both sides keyed by a deterministic sign-pattern bucket
-  (functions.vectors.sign_bucket); the probe becomes an equi-join on
-  the bucket id, shrinking the scanned candidates ~2**n_bits. This is
-  the 100 TB path: bucket is a partitionable join key, so candidates
-  co-locate and no cross join exists in the plan.
-
-Embedding cosine dedup falls out of brute_force_topk(df, df, thr).
+  (functions.vectors.sign_bucket); only the query's bucket is scanned
+  (partition pruning on the bucket key at scale).
+- embedding_near_duplicates: per-bucket upper-triangle GEMM via
+  applyInPandas — pairs never materialize outside the bucket-local
+  matrix product.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sign_bucket
+from ..functions.vectors import sign_bucket
+from ..shipping import ensure_shipped
+
+_SCORE_SCHEMA = "q_id long, vec_id long, cos_sim double"
+_PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
 
 
-def _scored(candidates: DataFrame, queries: DataFrame, join_on=None) -> DataFrame:
-    """candidates(vec_id, embedding) x queries(q_id, q_emb) with cosine."""
-    joined = (
-        candidates.join(F.broadcast(queries), join_on)
-        if join_on is not None
-        else candidates.crossJoin(F.broadcast(queries))
-    )
-    return joined.filter(F.col("vec_id") != F.col("q_id")).select(
-        "q_id",
-        "vec_id",
-        cosine("embedding", "q_emb").alias("cos_sim"),
-    )
+def _unit_rows(series: pd.Series) -> np.ndarray:
+    m = np.vstack(series.to_numpy()).astype("float64")
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def as_queries(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    return df.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -47,37 +59,103 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def as_queries(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    return df.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+def _score_against(candidates: DataFrame, q_ids: np.ndarray, q_mat: np.ndarray) -> DataFrame:
+    """Emit (q_id, vec_id, cos) for every candidate x query: one GEMM
+    per Arrow batch, candidates stream through exactly once."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_unit = _unit_rows(pdf["embedding"])
+            s = c_unit @ q_mat.T  # (n_cand, n_q)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "cos_sim": s.T.reshape(-1),
+                }
+            )
+
+    ensure_shipped(candidates.sparkSession)
+    return candidates.mapInPandas(score, schema=_SCORE_SCHEMA).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame([], schema=_SCORE_SCHEMA + ", rn int")
 
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Exact top-k cosine per query. queries must be small (broadcast)."""
-    return _topk(_scored(candidates, queries), k)
+    """Exact top-k cosine per query. queries must be small (they are
+    collected and shipped in the task closure, broadcast-style)."""
+    qp = queries.toPandas()
+    if len(qp) == 0:
+        return _empty_topk(candidates.sparkSession)
+    q_mat = _unit_rows(qp["q_emb"])
+    q_ids = qp["q_id"].to_numpy()
+    return _topk(_score_against(candidates, q_ids, q_mat), k)
 
 
 def ivf_topk(candidates: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 3) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-pattern bucket."""
+    """Approximate top-k: probe ONLY the query's sign-pattern bucket.
+    One pruned scan per populated query bucket (<= 2**n_bits branches,
+    each a partition-prunable filter at scale)."""
+    qp = queries.toPandas()
+    if len(qp) == 0:
+        return _empty_topk(candidates.sparkSession)
+    q_mat = _unit_rows(qp["q_emb"])
+    q_ids = qp["q_id"].to_numpy()
+    raw = np.vstack(qp["q_emb"].to_numpy())
+    weights = np.array([2 ** (n_bits - 1 - i) for i in range(n_bits)])
+    q_buckets = ((raw[:, :n_bits] > 0) * weights).sum(axis=1)
+
     cand_b = candidates.withColumn("bucket", sign_bucket("embedding", n_bits))
-    q_b = queries.withColumn("bucket", sign_bucket("q_emb", n_bits))
-    return _topk(_scored(cand_b, q_b, join_on="bucket"), k)
+    parts = []
+    for b in sorted(set(q_buckets.tolist())):
+        sel = q_buckets == b
+        parts.append(
+            _score_against(
+                cand_b.filter(F.col("bucket") == int(b)).drop("bucket"),
+                q_ids[sel],
+                q_mat[sel],
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    return _topk(scored, k)
 
 
-def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95, n_bits: int = 3) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the same bucketed equi-join
-    (near-identical vectors share the sign bucket). Returns
-    (vec_a, vec_b, cos_sim >= threshold), vec_a < vec_b."""
-    b = df.withColumn("bucket", sign_bucket("embedding", n_bits))
-    a, c = b.alias("a"), b.alias("b")
+def embedding_near_duplicates(
+    df: DataFrame, threshold: float = 0.95, n_bits: int = 3
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via per-bucket upper-triangle
+    GEMM (near-identical vectors share the sign bucket). Returns
+    (vec_a, vec_b, cos_sim >= threshold), vec_a < vec_b. Pairs below
+    threshold die inside the bucket-local matrix product — they never
+    hit the shuffle."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        u = _unit_rows(pdf["embedding"])
+        s = u @ u.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = s[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_sim": s[ia[keep], ib[keep]]}
+        )
+
+    ensure_shipped(df.sparkSession)
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        df.withColumn("bucket", sign_bucket("embedding", n_bits))
+        .groupBy("bucket")
+        .applyInPandas(pairs, schema=_PAIR_SCHEMA)
     )

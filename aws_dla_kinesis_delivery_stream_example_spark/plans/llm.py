@@ -382,7 +382,9 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_duplicates(emb, threshold=0.0, n_bits=3)
+    # pre-filter margin 0.9495 < round-boundary 0.94995: nothing that
+    # rounds to >= 0.95 is lost, everything else dies bucket-locally
+    pairs = similarity.embedding_near_duplicates(emb, threshold=0.9495, n_bits=3)
     return (
         pairs.select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.95)

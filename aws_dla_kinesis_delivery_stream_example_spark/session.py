@@ -61,7 +61,11 @@ def get_spark(
         # (sources.tables truncates ns -> us exactly like DuckDB does).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # Oversized heaps (90g) measurably HURT here: G1 defers mixed
+        # collections until allocation stalls mid-query. 32g keeps GC
+        # pauses short and query times stable; override via env if a
+        # workload genuinely needs more.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
