@@ -1,0 +1,158 @@
+"""Second batch of relational coverage: exact percentiles, pivot /
+unpivot, approximate aggregates (rows-only: engine-specific sketches),
+and the as-of join (DuckDB's native ASOF JOIN is the oracle for our
+union-window implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "q40_percentiles",
+    oracle="""
+        SELECT c_mktsegment,
+               -- inputs have 2 decimals => interpolated values have <=4;
+               -- round(.,4) is identity-on-grid in both engines (see q02)
+               round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Exact interpolated percentiles (p50/p90/p99) per segment "
+    "— Spark `percentile` == DuckDB `quantile_cont`",
+    tags=("aggregate", "percentile"),
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q41_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Pivot linestatus into columns (Spark .pivot == SQL "
+    "FILTER aggregates)",
+    tags=("aggregate", "pivot"),
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_filled"),
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q42_unpivot",
+    oracle="""
+        SELECT p_partkey, measure, round(val, 2) AS val
+        FROM (
+            SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+        )
+        WHERE p_partkey <= 200
+        ORDER BY p_partkey, measure
+    """,
+    description="Unpivot (wide->long) via stack/UNION ALL",
+    tags=("setop", "unpivot"),
+)
+def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (
+        part.selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (measure, raw_val)",
+        )
+        .select("p_partkey", "measure", F.round("raw_val", 2).alias("val"))
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@query(
+    "q43_approx_aggregates",
+    oracle=None,  # sketch outputs (HLL/KLL) are engine-specific by design
+    description="Approximate aggregates: approx_count_distinct (HLL) and "
+    "percentile_approx — the 100 TB substitutes for exact distinct/quantile",
+    tags=("aggregate", "approx", "rows-only"),
+)
+def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q44_asof_join",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT user_id, ts, max(event_id) AS signup_event
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, s.signup_event
+        FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id
+    """,
+    description="As-of join: each purchase matched to the user's most "
+    "recent prior signup — union-window implementation (one shuffle, no "
+    "range explosion) vs DuckDB's native ASOF JOIN",
+    tags=("join", "asof", "events"),
+)
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(purchases, signups, on="user_id", ts="ts")
+    return out.select("event_id", "user_id", "signup_event").orderBy("event_id")
