@@ -171,9 +171,49 @@ class DeliveryPipeline:
         else:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         query = writer.start()
+        self.last_query = query
         if await_termination and self.trigger_seconds is None:
             query.awaitTermination()
+            self._log_progress(query)
         return query
+
+    # -- K8 observability: per-delivery-stream progress log --------------
+    @staticmethod
+    def _progress_dicts(query) -> list[dict]:
+        import json
+
+        out = []
+        for p in query.recentProgress:
+            out.append(p if isinstance(p, dict) else json.loads(p.json))
+        return out
+
+    def _log_progress(self, query) -> None:
+        """CloudWatch-log-group parity: one JSON line per micro-batch
+        (StreamingQueryProgress) under the destination's _progress dir."""
+        import json
+
+        prog_dir = os.path.join(self.dest_dir, "_progress")
+        os.makedirs(prog_dir, exist_ok=True)
+        with open(os.path.join(prog_dir, f"{query.id}.jsonl"), "a") as f:
+            for p in self._progress_dicts(query):
+                f.write(json.dumps(p, default=str) + "\n")
+
+    def throughput(self) -> dict:
+        """A4 parity: rec/s from StreamingQueryProgress
+        (numInputRows / batchDuration), the reference's TPS computation
+        (data_producer/multi_process_producer.py:55-59)."""
+        q = getattr(self, "last_query", None)
+        if q is None:
+            return {"rows": 0, "duration_ms": 0, "rec_per_s": 0.0}
+        rows, dur = 0, 0
+        for p in self._progress_dicts(q):
+            rows += p.get("numInputRows", 0) or 0
+            dur += (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+        return {
+            "rows": rows,
+            "duration_ms": dur,
+            "rec_per_s": round(rows / (dur / 1000.0), 1) if dur else 0.0,
+        }
 
     # -- inspection surface (SURVEY.md §2.7 A1-A2, §2.8 Q1-Q2) -------------
     def count_sink_records(self, prefix: str) -> int:

@@ -1,0 +1,76 @@
+"""Custom stateful operator: applyInPandasWithState running totals —
+state persists across micro-batches and the final answer equals batch."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+from aws_dla_kinesis_delivery_stream_example_spark.streaming.stateful import (
+    running_user_totals,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_stateful_stream_final_equals_batch(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    # two micro-batches (maxFilesPerTrigger=1) so state must carry over
+    ev.filter(F.col("event_id").isNull() if "event_id" in ev.columns else F.lit(False))
+    half = ev.limit(500)
+    rest = ev.subtract(half)
+    half.write.parquet(os.path.join(src, "b1"))
+    rest.write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = running_user_totals(stream)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each update; last row per user wins
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM stateful_out
+        ) WHERE rn = 1
+        """
+    )
+    batch = running_user_totals(ev)
+    got = {(r.user_id): (r.n_events, r.total_value) for r in final.collect()}
+    want = {(r.user_id): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_delivery_throughput_metrics(spark, tmp_path):
+    """K8/A4: progress log written, TPS computed from query progress."""
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.jsonlines import (
+        generate_bank_accounts,
+        produce_jsonlines,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.streaming.delivery import (
+        DeliveryPipeline,
+    )
+
+    src = str(tmp_path / "src")
+    produce_jsonlines(generate_bank_accounts(spark, 1000, partitions=4), src)
+    p = DeliveryPipeline(spark, src, str(tmp_path / "dest"))
+    p.run()
+    tp = p.throughput()
+    assert tp["rows"] == 1000 and tp["rec_per_s"] > 0
+    prog_dir = os.path.join(str(tmp_path / "dest"), "_progress")
+    assert os.path.isdir(prog_dir) and any(os.scandir(prog_dir))

@@ -128,6 +128,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         src + "/b2"
     )
     q.processAllAvailable()
+    # batch 3: a flush event far ahead so the watermark passes every
+    # earlier window and append mode emits them.
+    spark.createDataFrame(
+        [(5, "2024-01-01 20:00:00", "a", 1.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").write.parquet(
+        src + "/b3"
+    )
+    q.processAllAvailable()
     q.stop()
     rows = {
         (r["w"]["start"].strftime("%H:%M"), r["n"])
