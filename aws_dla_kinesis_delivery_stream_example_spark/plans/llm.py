@@ -393,6 +393,40 @@ def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q45_rolling_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), list_transform(
+                       string_split(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), ''),
+                       x -> CAST(unicode(x) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint,
+               length(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS ascii_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Polynomial rolling-hash fingerprint over the ASCII "
+    "projection of each document (acc*31+c mod 2^31-1) — the only "
+    "engine-independent hash in the catalog, verified bit-for-bit",
+    tags=("llm", "text", "fingerprint"),
+)
+def q45_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
+    chars = F.filter(F.split(ascii_text, ""), lambda x: x != "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647),
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length(ascii_text).cast("long").alias("ascii_len"),
+    ).orderBy("doc_id")
+
+
+@query(
     "q37_doc_fingerprint",
     oracle=None,  # xxhash64-based rolling fingerprint; rows-only.
     description="Document fingerprinting: xxhash64 content hash + "
