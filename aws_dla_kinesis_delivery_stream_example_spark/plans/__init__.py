@@ -3,6 +3,7 @@ from .catalog import REGISTRY, QuerySpec, all_specs, query
 # Importing the plan modules populates REGISTRY.
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
