@@ -148,6 +148,56 @@ def minhash_near_duplicates(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation. Returns (doc, cluster_id) where
+    cluster_id = min doc id in the component.
+
+    Driver-side loop, data-side joins: each iteration is one join +
+    aggregate; `localCheckpoint` truncates lineage so the plan stays
+    flat. Converges in O(log(diameter)) iterations (min labels hop
+    both directions each round) — the standard scalable alternative to
+    union-find, which cannot be distributed. Dedup components are tiny
+    cliques in practice, so 2-3 iterations suffice at any scale.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash packed into ONE long: (doc, sig, chunks array<int>).
 

@@ -393,6 +393,58 @@ def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q49_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(tk, i, i + 4), ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ) i
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT doc, CAST(least(doc, min(dst)) AS BIGINT) AS cluster_id
+        FROM (SELECT src AS doc, dst FROM reach)
+        GROUP BY doc
+        ORDER BY doc
+    """,
+    description="Near-dup cluster resolution: connected components of the "
+    "exact-Jaccard(>=0.4) pair graph via iterative min-label propagation "
+    "(the distributed union-find substitute) vs a recursive-CTE oracle",
+    tags=("llm", "dedup", "iterative"),
+)
+def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.4)
+    return (
+        dedup.duplicate_clusters(pairs)
+        .select("doc", F.col("cluster_id").cast("long").alias("cluster_id"))
+        .orderBy("doc")
+    )
+
+
+@query(
     "q45_rolling_fingerprint",
     oracle="""
         SELECT doc_id,

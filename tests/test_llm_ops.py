@@ -139,3 +139,12 @@ def test_multimodal_frame_sampling(spark):
     one = media.select("media_id", "meta.duration_ms").collect()[0]
     n = frames.filter(F.col("media_id") == one.media_id).count()
     assert n == one.duration_ms // 1000 + 1
+
+def test_duplicate_clusters_components(spark):
+    """Chain + separate pair + transitive closure: min-label clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
