@@ -78,8 +78,18 @@ class DeliveryPipeline:
     trigger_seconds: int | None = None  # None => availableNow (drain & stop)
     max_files_per_trigger: int | None = None
     doc_sink_failure_injector: Callable[[int], bool] | None = None  # test hook
+    # K6: Firehose IndexRotationPeriod — the document "index" rotates on
+    # delivery time. "NoRotation" = single fixed index (the reference's
+    # setting, iac/s2_app.py:845); other values partition the document
+    # sink by a time-derived index name.
+    index_rotation: str = "NoRotation"  # NoRotation|OneHour|OneDay|OneMonth
 
     def __post_init__(self) -> None:
+        valid = ("NoRotation", *self._ROTATION_FMT)
+        if self.index_rotation not in valid:
+            raise ValueError(
+                f"index_rotation must be one of {valid}, got {self.index_rotation!r}"
+            )
         self.result = DeliveryResult()
 
     # -- paths ------------------------------------------------------------
@@ -134,17 +144,29 @@ class DeliveryPipeline:
         finally:
             batch_df.unpersist()
 
+    _ROTATION_FMT = {"OneHour": "yyyy-MM-dd-HH", "OneDay": "yyyy-MM-dd", "OneMonth": "yyyy-MM"}
+
     def _write_documents(self, ok: DataFrame, batch_id: int) -> None:
-        """K4: document sink with one bounded retry (K7)."""
+        """K4: document sink with one bounded retry (K7); index name
+        rotates by delivery time per ``index_rotation`` (K6)."""
         docs = ok.select(
             F.get_json_object("payload", "$.id").alias("id"), F.col("payload")
         )
+        if self.index_rotation != "NoRotation":
+            fmt = self._ROTATION_FMT[self.index_rotation]
+            docs = docs.withColumn(
+                "index_name",
+                F.concat(F.lit("documents-"), F.date_format(F.current_timestamp(), fmt)),
+            )
         attempts = 0
         while True:
             try:
                 if self.doc_sink_failure_injector and self.doc_sink_failure_injector(attempts):
                     raise IOError("injected document-sink failure")
-                docs.write.mode("append").parquet(self.path("documents"))
+                writer = docs.write.mode("append")
+                if self.index_rotation != "NoRotation":
+                    writer = writer.partitionBy("index_name")
+                writer.parquet(self.path("documents"))
                 return
             except Exception:
                 attempts += 1

@@ -52,8 +52,10 @@ def bench_queries(spark) -> dict[str, float]:
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         # Operator-internal persists (staging tables) are per-query
-        # scratch: release them so queries are measured independently.
+        # scratch: release them, and force a collection so one query's
+        # garbage doesn't tax the next one's measurement.
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
     return timings
 
 

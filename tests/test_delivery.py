@@ -138,3 +138,29 @@ def test_unicode_roundtrip(spark, tmp_path):
     raw = spark.read.text(p.path(PREFIX_SUCCESS)).collect()[0].value
     assert "日本語テキスト" in raw and "\\u" not in raw
     assert json.loads(raw)["firstname"] == "Ünïcode"
+
+def test_index_rotation(spark, source_dir, tmp_path):
+    """K6: OneDay rotation partitions the document sink by a
+    date-derived index name; NoRotation stays flat."""
+    import re
+
+    p = DeliveryPipeline(
+        spark,
+        source_dir,
+        str(tmp_path / "rot"),
+        document_sink=True,
+        index_rotation="OneDay",
+    )
+    p.run()
+    docs = spark.read.parquet(p.path("documents"))
+    names = {r.index_name for r in docs.select("index_name").distinct().collect()}
+    assert len(names) >= 1
+    assert all(re.fullmatch(r"documents-\d{4}-\d{2}-\d{2}", n) for n in names)
+    assert docs.count() == p.result.n_ok
+
+
+def test_kinesis_stub_raises_cleanly(spark):
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.jsonlines import kinesis_reader
+
+    with pytest.raises(NotImplementedError, match="connector"):
+        kinesis_reader(spark, "my-stream")
