@@ -77,14 +77,56 @@ def shingle_jaccard_pairs(
     )
 
 
+def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, h) rows: one 61-ish-bit hash per DISTINCT word n-gram.
+
+    Arrow-batched Python, not JVM expressions: building shingle strings
+    with interpreted transform/slice/concat_ws costs more than the whole
+    downstream aggregation; Python does tokenizing+hashing in one pass
+    per batch. blake2b (keyed, 8-byte) is deterministic across workers
+    (unlike builtin hash() under PYTHONHASHSEED).
+    """
+    from ..shipping import ensure_shipped
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import pandas as _pd
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out_doc, out_h = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tok_re.findall(text.lower())
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        out_doc.append(doc)
+                        out_h.append(
+                            int.from_bytes(
+                                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                            )
+                            % _MERSENNE
+                        )
+            yield _pd.DataFrame({"doc": out_doc, "h": out_h})
+
+    ensure_shipped(df.sparkSession)
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).mapInPandas(
+        run, "doc long, h long"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 5
 ) -> DataFrame:
     """(id, signature array<long>) — min over n universal hashes of the
-    shingle set. One narrow map + one groupBy(id) aggregate."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    shingle-hash set. One narrow map + one groupBy(id) aggregate."""
+    sh = _shingle_hash_rows(df, id_col, text_col, shingle_n)
     # h_i(x) = (a_i*x + b_i) mod p, fixed odd a_i / b_i derived from i.
     mins = [
         F.min(F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(1_000_003 * (i + 1)), F.lit(_MERSENNE))).alias(f"mh{i}")
