@@ -7,5 +7,6 @@ from . import relational3  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
+from . import streaming_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "all_specs", "query"]
