@@ -4,6 +4,7 @@ from .catalog import REGISTRY, QuerySpec, all_specs, query
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import sql_api  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
