@@ -164,3 +164,14 @@ def test_kinesis_stub_raises_cleanly(spark):
 
     with pytest.raises(NotImplementedError, match="connector"):
         kinesis_reader(spark, "my-stream")
+
+
+def test_dual_delivery_topology(spark, source_dir, tmp_path):
+    """§3.4 full-topology parity: one source, two branches, E2E
+    reconciliation across both (the reference's acceptance check)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.streaming.pipeline import build_dual_delivery
+
+    dual = build_dual_delivery(spark, source_dir, str(tmp_path / "dual")).run()
+    assert dual.reconciled()
+    c = dual.counts()
+    assert c["s3_ok"] == c["n_input"] == c["docs_ok"] == c["docs_indexed"]
