@@ -53,9 +53,16 @@ def decoded_string(data_col) -> Column:
 
 def encode_json_line(struct_col) -> Column:
     """D2: struct -> json + "\\n" -> base64. UTF-8 raw (ensure_ascii=False
-    parity)."""
+    parity). ignoreNullFields=false: json.dumps keeps null-valued keys,
+    so the engine must too (Spark's default silently drops them —
+    caught by the hypothesis round-trip test). Known normalization: a
+    key absent from the input becomes an explicit null on re-encode
+    (schema-on-read cannot distinguish missing from null); the UDF
+    transform path preserves missing-vs-null exactly."""
     c = F.col(struct_col) if isinstance(struct_col, str) else struct_col
-    return F.base64(F.encode(F.concat(F.to_json(c), F.lit("\n")), "utf-8"))
+    return F.base64(
+        F.encode(F.concat(F.to_json(c, {"ignoreNullFields": "false"}), F.lit("\n")), "utf-8")
+    )
 
 
 def encode_raw_line(json_str_col) -> Column:
