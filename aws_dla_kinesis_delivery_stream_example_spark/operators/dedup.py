@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import word_shingles, words
+from ..functions.text import words
 
 # Mersenne prime 2^31-1: universal-hash modulus; xxhash64 gives the base
 # shingle hash (folded into the 31-bit field so a*h never overflows
@@ -50,9 +50,11 @@ def shingle_jaccard_pairs(
     # Shingling is the expensive narrow map and feeds three consumers
     # (sizes + both join sides): materialize it once. At 100 TB this is
     # a staging table write, not a cache — same idea, explicit storage.
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).persist()
+    # Shingles are represented by their 8-byte blake2b hash, not the
+    # string: Jaccard is invariant under an injective mapping, the join
+    # key shrinks ~4x, and the Python hash pass beats interpreted
+    # string-building (see _shingle_hash_rows).
+    sh = _shingle_hash_rows(df, id_col, text_col, n).withColumnRenamed("h", "shingle").persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
