@@ -21,11 +21,26 @@ Buffering parity (B1/B2/B4): Firehose's 60 s / 5 MB flush maps to
 size-based flush is approximated by the trigger interval plus
 ``maxFilesPerTrigger`` on the source (SURVEY.md §4.2a).
 
-Exactly-once: checkpoint + idempotent file sink, strictly stronger
+Exactly-once: checkpointed source offsets + *idempotent per-batch_id
+sink writes*. Every sink write lands under a ``batch_id=N`` partition
+with dynamic partition overwrite, so a micro-batch replayed after a
+mid-batch crash rewrites its own partition instead of appending
+duplicates — effectively exactly-once end-to-end, strictly stronger
 than the reference's at-least-once + recordId reconciliation (§2.9).
+(Driver-side ``DeliveryResult`` counters are in-memory per-run
+conveniences and are NOT crash-durable; the durable numbers are the
+sink partitions themselves, see ``count_sink_records``.)
 Retry (K7): one bounded retry around the document-sink write, then
 rows route to the error prefix — reference NumberOfRetries=1
-(kds_example/iac/s2_app.py:353-356).
+(kds_example/iac/s2_app.py:353-356). The raw-backup write gets the
+same bounded retry, after which original rows land under
+``02-backup-failed/`` (K3 failure branch,
+kds_example/iac/s2_app.py:806-808).
+
+Per-batch counters come from ``df.observe`` (Observation metrics
+piggy-backing on the sink writes) — zero extra passes over the batch,
+vs. the naive count()-per-sink which costs two full extra scans per
+micro-batch at scale.
 """
 
 from __future__ import annotations
@@ -34,11 +49,12 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import serde
+from .doc_sink import DocumentSink, ParquetDocumentSink
 from .transform import STATUS_DROPPED, STATUS_FAILED, STATUS_OK, apply_transform
 
 # Sink layout mirrors the reference's S3 prefixes
@@ -60,6 +76,8 @@ class DeliveryResult:
     n_failed: int = 0
     n_batches: int = 0
     doc_sink_retries: int = 0
+    backup_retries: int = 0
+    n_backup_failed: int = 0  # K3 failure branch: rows under 02-backup-failed
 
     def reconciled(self) -> bool:
         return self.n_input == self.n_ok + self.n_dropped + self.n_failed
@@ -78,6 +96,10 @@ class DeliveryPipeline:
     trigger_seconds: int | None = None  # None => availableNow (drain & stop)
     max_files_per_trigger: int | None = None
     doc_sink_failure_injector: Callable[[int], bool] | None = None  # test hook
+    backup_failure_injector: Callable[[int], bool] | None = None  # test hook (K3)
+    # K4 client seam: pass a DocumentSink implementation (e.g. a real
+    # bulk-index client) — defaults to the local parquet stand-in.
+    document_client: DocumentSink | None = None
     # K6: Firehose IndexRotationPeriod — the document "index" rotates on
     # delivery time. "NoRotation" = single fixed index (the reference's
     # setting, iac/s2_app.py:845); other values partition the document
@@ -90,6 +112,10 @@ class DeliveryPipeline:
             raise ValueError(
                 f"index_rotation must be one of {valid}, got {self.index_rotation!r}"
             )
+        if self.document_client is not None:
+            self.document_sink = True
+        elif self.document_sink:
+            self.document_client = ParquetDocumentSink(self.path("documents"))
         self.result = DeliveryResult()
 
     # -- paths ------------------------------------------------------------
@@ -101,14 +127,52 @@ class DeliveryPipeline:
         return os.path.join(self.dest_dir, "_checkpoint")
 
     # -- the micro-batch body (the Lambda-invoke equivalent) --------------
+    def _write_partitioned(
+        self, df: DataFrame, path: str, flush_key: str, fmt: str
+    ) -> None:
+        """Idempotent sink write: every flush lands under its own
+        ``batch_id=<flush_key>`` partition with dynamic partition
+        overwrite, so a replayed micro-batch rewrites its partition
+        instead of appending duplicates (the exactly-once upgrade over
+        the reference's at-least-once, SURVEY.md §2.9)."""
+        (
+            df.withColumn("batch_id", F.lit(flush_key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .format(fmt)
+            .save(path)
+        )
+
+    def _write_backup(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """K3: raw pre-transform backup with one bounded retry; on a
+        second failure the original rows land under ``02-backup-failed/``
+        (reference kds_example/iac/s2_app.py:806-808). Returns True when
+        the failure branch was taken."""
+        attempts = 0
+        while True:
+            try:
+                if self.backup_failure_injector and self.backup_failure_injector(attempts):
+                    raise IOError("injected backup-sink failure")
+                self._write_partitioned(
+                    batch_df, self.path(PREFIX_BACKUP), str(batch_id), "json"
+                )
+                return False
+            except Exception:
+                attempts += 1
+                self.result.backup_retries += 1
+                if attempts > 1:  # NumberOfRetries=1 parity
+                    self._write_partitioned(
+                        batch_df, self.path(PREFIX_BACKUP_FAILED), str(batch_id), "json"
+                    )
+                    return True
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         batch_df = batch_df.persist()
         try:
-            n_input = batch_df.count()
-            if n_input == 0:
-                return
-            # K3: raw backup BEFORE transform.
-            batch_df.write.mode("append").json(self.path(PREFIX_BACKUP))
+            backup_failed = self._write_backup(batch_df, batch_id)
 
             with_json = batch_df.withColumn(
                 "json_line", F.to_json(F.struct(*batch_df.columns))
@@ -119,26 +183,43 @@ class DeliveryPipeline:
                 transformed = apply_transform(
                     with_json, declarative={"payload": F.col("json_line")}
                 )
-            transformed = transformed.persist()
+            # Counters piggy-back on the sink writes via df.observe —
+            # zero extra passes (vs. a count() per sink = two extra full
+            # scans per micro-batch at scale). apply_transform is
+            # row-preserving, so count(transformed) == batch input rows.
+            obs = Observation()
+            transformed = transformed.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_input"),
+                F.sum((F.col("status") == STATUS_OK).cast("long")).alias("n_ok"),
+                F.sum((F.col("status") == STATUS_FAILED).cast("long")).alias("n_failed"),
+            ).persist()
 
             ok = transformed.filter(F.col("status") == STATUS_OK)
             failed = transformed.filter(F.col("status") == STATUS_FAILED)
 
             # K1: success sink — one JSON-lines "object" per partition per
             # flush, exactly the Firehose buffer-flush layout.
-            ok.select(F.col("payload")).write.mode("append").text(self.path(PREFIX_SUCCESS))
+            self._write_partitioned(
+                ok.select("payload"), self.path(PREFIX_SUCCESS), str(batch_id), "text"
+            )
             # K2: error sink keeps the ORIGINAL payload.
-            failed.select(F.col("payload")).write.mode("append").text(self.path(PREFIX_FAILED))
+            self._write_partitioned(
+                failed.select("payload"), self.path(PREFIX_FAILED), str(batch_id), "text"
+            )
 
             if self.document_sink:
                 self._write_documents(ok, batch_id)
 
-            self.result.n_input += n_input
-            self.result.n_ok += ok.count()
-            self.result.n_failed += failed.count()
+            m = obs.get  # blocks until the first action over `transformed`
+            self.result.n_input += m["n_input"]
+            self.result.n_ok += m["n_ok"] or 0
+            self.result.n_failed += m["n_failed"] or 0
             self.result.n_dropped = (
                 self.result.n_input - self.result.n_ok - self.result.n_failed
             )
+            if backup_failed:
+                self.result.n_backup_failed += m["n_input"]
             self.result.n_batches += 1
             transformed.unpersist()
         finally:
@@ -147,8 +228,10 @@ class DeliveryPipeline:
     _ROTATION_FMT = {"OneHour": "yyyy-MM-dd-HH", "OneDay": "yyyy-MM-dd", "OneMonth": "yyyy-MM"}
 
     def _write_documents(self, ok: DataFrame, batch_id: int) -> None:
-        """K4: document sink with one bounded retry (K7); index name
-        rotates by delivery time per ``index_rotation`` (K6)."""
+        """K4: document sink via the pluggable ``DocumentSink`` client
+        seam (reference bulk-index: kds_example/oss_utils.py:54-63), with
+        one bounded retry (K7); index name rotates by delivery time per
+        ``index_rotation`` (K6)."""
         docs = ok.select(
             F.get_json_object("payload", "$.id").alias("id"), F.col("payload")
         )
@@ -163,17 +246,21 @@ class DeliveryPipeline:
             try:
                 if self.doc_sink_failure_injector and self.doc_sink_failure_injector(attempts):
                     raise IOError("injected document-sink failure")
-                writer = docs.write.mode("append")
-                if self.index_rotation != "NoRotation":
-                    writer = writer.partitionBy("index_name")
-                writer.parquet(self.path("documents"))
+                self.document_client.bulk_index(docs, batch_id)
                 return
             except Exception:
                 attempts += 1
                 self.result.doc_sink_retries += 1
                 if attempts > 1:  # NumberOfRetries=1 parity
-                    # fall to error output, original payloads preserved
-                    ok.select("payload").write.mode("append").text(self.path(PREFIX_FAILED))
+                    # fall to error output, original payloads preserved;
+                    # distinct flush key so it cannot clobber the K2 write
+                    # for the same micro-batch.
+                    self._write_partitioned(
+                        ok.select("payload"),
+                        self.path(PREFIX_FAILED),
+                        f"{batch_id}-docs",
+                        "text",
+                    )
                     return
 
     # -- run ---------------------------------------------------------------

@@ -15,10 +15,12 @@ from aws_dla_kinesis_delivery_stream_example_spark.sources.jsonlines import (
 )
 from aws_dla_kinesis_delivery_stream_example_spark.streaming.delivery import (
     PREFIX_BACKUP,
+    PREFIX_BACKUP_FAILED,
     PREFIX_FAILED,
     PREFIX_SUCCESS,
     DeliveryPipeline,
 )
+from aws_dla_kinesis_delivery_stream_example_spark.streaming.doc_sink import DocumentSink
 from aws_dla_kinesis_delivery_stream_example_spark.streaming.transform import DropIt
 
 N = 2000
@@ -157,6 +159,82 @@ def test_index_rotation(spark, source_dir, tmp_path):
     assert len(names) >= 1
     assert all(re.fullmatch(r"documents-\d{4}-\d{2}-\d{2}", n) for n in names)
     assert docs.count() == p.result.n_ok
+
+
+def test_backup_failure_branch(spark, source_dir, tmp_path):
+    """K3 failure branch: when the raw-backup write fails past its one
+    bounded retry, original rows land under 02-backup-failed/
+    (reference prefix config kds_example/iac/s2_app.py:806-808)."""
+    p = DeliveryPipeline(
+        spark,
+        source_dir,
+        str(tmp_path / "bf"),
+        backup_failure_injector=lambda attempt: True,  # both attempts fail
+    )
+    p.run()
+    r = p.result
+    assert r.reconciled() and r.n_input > 0
+    assert r.n_backup_failed == r.n_input
+    assert r.backup_retries == 2 * r.n_batches  # initial + 1 retry per batch
+    assert p.count_sink_records(PREFIX_BACKUP) == 0
+    assert p.count_sink_records(PREFIX_BACKUP_FAILED) == r.n_input
+    # the failure branch preserves the ORIGINAL pre-transform records
+    src = {rec["id"]: rec for rec in _read_lines(spark, source_dir)}
+    backed = _read_lines(spark, p.path(PREFIX_BACKUP_FAILED))
+    assert backed and all(src[rec["id"]] == rec for rec in backed)
+
+
+class _RecordingSink(DocumentSink):
+    """Fake bulk-index client for the K4 seam test."""
+
+    def __init__(self) -> None:
+        self.batches: list[tuple[int, int]] = []
+
+    def bulk_index(self, docs, batch_id: int) -> None:
+        self.batches.append((batch_id, docs.count()))
+
+
+class _DownSink(DocumentSink):
+    def bulk_index(self, docs, batch_id: int) -> None:
+        raise IOError("cluster unreachable")
+
+
+def test_document_client_seam(spark, source_dir, tmp_path):
+    """K4 seam: the pipeline talks only to the DocumentSink interface, so
+    a client-backed implementation (opensearch-py bulk,
+    kds_example/oss_utils.py:54-63) drops in without pipeline changes."""
+    client = _RecordingSink()
+    p = DeliveryPipeline(spark, source_dir, str(tmp_path / "seam"), document_client=client)
+    p.run()
+    assert p.document_sink is True  # passing a client enables the sink
+    assert client.batches and sum(n for _, n in client.batches) == p.result.n_ok
+
+
+def test_document_client_failure_routes_to_error(spark, source_dir, tmp_path):
+    """K7 through the seam: a client that stays down exhausts the one
+    bounded retry and the batch's payloads route to the error prefix."""
+    p = DeliveryPipeline(spark, source_dir, str(tmp_path / "seamf"), document_client=_DownSink())
+    p.run()
+    r = p.result
+    assert r.doc_sink_retries == 2 * r.n_batches
+    assert p.count_sink_records(PREFIX_FAILED) == r.n_ok + r.n_failed
+
+
+def test_replay_batch_is_idempotent(spark, tmp_path):
+    """Exactly-once under mid-batch crash: replaying the SAME micro-batch
+    (what the checkpoint does after a crash between a sink write and the
+    offset commit) rewrites its batch_id partitions instead of appending
+    duplicates."""
+    src = str(tmp_path / "src")
+    produce_jsonlines(generate_bank_accounts(spark, 200, partitions=2), src)
+    p = DeliveryPipeline(spark, src, str(tmp_path / "out"), document_sink=True)
+    batch = spark.read.schema(p.payload_schema).json(src)
+    p._process_batch(batch, 0)
+    assert p.count_sink_records(PREFIX_SUCCESS) == 200
+    p._process_batch(batch, 0)  # simulated post-crash replay
+    assert p.count_sink_records(PREFIX_SUCCESS) == 200
+    assert p.count_sink_records(PREFIX_BACKUP) == 200
+    assert p.count_documents() == 200
 
 
 def test_kinesis_stub_raises_cleanly(spark):

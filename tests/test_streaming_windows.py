@@ -98,9 +98,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     spark.createDataFrame(
         [(1, "2024-01-01 10:00:00", "a", 1.0), (2, "2024-01-01 12:00:00", "a", 1.0)],
         "event_id long, ts_s string, event_type string, value double",
-    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").write.parquet(
-        src + "/b1"
-    )
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").coalesce(
+        1
+    ).write.parquet(src + "/b1")
 
     schema = "event_id long, ts timestamp, event_type string, value double"
     stream = (
@@ -124,18 +124,18 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     spark.createDataFrame(
         [(3, "2024-01-01 09:00:00", "a", 1.0), (4, "2024-01-01 13:00:00", "a", 1.0)],
         "event_id long, ts_s string, event_type string, value double",
-    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").write.parquet(
-        src + "/b2"
-    )
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").coalesce(
+        1
+    ).write.parquet(src + "/b2")
     q.processAllAvailable()
     # batch 3: a flush event far ahead so the watermark passes every
     # earlier window and append mode emits them.
     spark.createDataFrame(
         [(5, "2024-01-01 20:00:00", "a", 1.0)],
         "event_id long, ts_s string, event_type string, value double",
-    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").write.parquet(
-        src + "/b3"
-    )
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "event_type", "value").coalesce(
+        1
+    ).write.parquet(src + "/b3")
     q.processAllAvailable()
     q.stop()
     rows = {
