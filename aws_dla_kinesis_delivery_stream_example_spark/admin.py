@@ -10,7 +10,8 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
 
 def match_all(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -64,9 +65,32 @@ def drop_sink_table(spark: SparkSession, name: str) -> None:
 
 
 def upsert_by_id(df: DataFrame, id_col: str, path: str) -> None:
-    """Q4 doc-upsert parity: last-write-wins per id, rewritten as a
-    dedup + overwrite (the file-sink MERGE equivalent)."""
-    df.dropDuplicates([id_col]).write.mode("overwrite").parquet(path)
+    """Q4 doc-upsert parity (OpenSearch _id-keyed upsert): MERGE the
+    incoming batch into the existing documents at ``path`` — incoming
+    rows win per id, untouched existing ids are preserved.
+
+    Within one incoming batch, duplicate ids resolve deterministically
+    to the lexicographic-max row over the non-id columns (a DataFrame
+    carries no write order to honor)."""
+    spark = df.sparkSession
+    other_cols = [c for c in df.columns if c != id_col]
+    incoming = df.withColumn("_prec", F.lit(1))
+    if os.path.isdir(path):
+        unioned = (
+            spark.read.parquet(path).withColumn("_prec", F.lit(0)).unionByName(incoming)
+        )
+    else:
+        unioned = incoming
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("_prec"), *[F.desc(c) for c in other_cols]
+    )
+    winner = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prec")
+    )
+    # Materialize before overwriting the path the plan reads from.
+    winner.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
 
 def health_check(spark: SparkSession) -> dict:

@@ -7,9 +7,10 @@ tag both sides, union, sort within each key partition by
 multiplication — the shape that survives 100 TB (a naive
 ``a.ts >= b.ts`` theta join explodes quadratically per key).
 
-Right-side ties on (key, ts) are pre-deduped to the max id so the
-result is deterministic (and matches DuckDB's native ASOF JOIN, which
-the oracle uses).
+Right-side ties on (key, ts) are pre-deduped to ONE actual right row
+(row_number over the value columns descending) so the result is
+deterministic and never blends columns from different tied rows — and
+matches DuckDB's native ASOF JOIN, which the oracle uses.
 """
 
 from __future__ import annotations
@@ -29,11 +30,18 @@ def asof_join(
     ``right.ts <= left.ts`` within the same ``on`` key (inclusive).
 
     right_value_cols: right columns to carry (default: all non-key,
-    non-ts). Right-side (key, ts) ties resolve to max(value) —
-    deterministic by construction.
+    non-ts). Right-side (key, ts) ties resolve to one WHOLE row — the
+    lexicographic max over the value columns — never a per-column max
+    that could synthesize a row that doesn't exist.
     """
     value_cols = right_value_cols or [c for c in right.columns if c not in (on, ts)]
-    r = right.groupBy(on, ts).agg(*[F.max(c).alias(c) for c in value_cols])
+    tie_w = W.partitionBy(on, ts).orderBy(*[F.desc(c) for c in value_cols])
+    r = (
+        right.select(on, ts, *value_cols)
+        .withColumn("_rn", F.row_number().over(tie_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     # side: right=0 sorts before left=1 at equal ts => inclusive match.
     l_tagged = left.select(
         F.col(on).alias("_k"),

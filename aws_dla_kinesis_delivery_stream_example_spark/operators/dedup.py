@@ -35,9 +35,17 @@ _MERSENNE = (1 << 31) - 1
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the min-id row per duplicate group (deterministic, unlike
-    dropDuplicates which keeps an arbitrary row)."""
+    dropDuplicates which keeps an arbitrary row).
+
+    Null keys follow SQL GROUP BY semantics: rows whose key is null form
+    one group and keep their min-id survivor — the semi join uses
+    null-safe equality so they don't silently vanish."""
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+    d, k = df.alias("_dd_l"), keep.alias("_dd_r")
+    cond = F.col(f"_dd_l.{id_col}") == F.col(f"_dd_r.{id_col}")
+    for c in key_cols:
+        cond = cond & F.col(f"_dd_l.{c}").eqNullSafe(F.col(f"_dd_r.{c}"))
+    return d.join(k, cond, "left_semi")
 
 
 def shingle_jaccard_pairs(
@@ -100,6 +108,10 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
         for pdf in batches:
             out_doc, out_h = [], []
             for doc, text in zip(pdf[id_col], pdf[text_col]):
+                # Null/non-string texts yield no shingles, matching the
+                # oracle where regexp over NULL produces nothing.
+                if not isinstance(text, str):
+                    continue
                 toks = tok_re.findall(text.lower())
                 if len(toks) < n:
                     continue

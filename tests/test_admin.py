@@ -44,9 +44,24 @@ def test_upsert_by_id(spark, tmp_path):
         [("a", 1), ("a", 2), ("b", 3)], "id string, v long"
     )
     admin.upsert_by_id(df, "id", out)
-    got = spark.read.parquet(out)
-    assert got.count() == 2  # one row per id survives
-    assert {r.id for r in got.collect()} == {"a", "b"}
+    got = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    # one row per id survives; within-batch dups resolve deterministically
+    assert got == {"a": 2, "b": 3}
+
+
+def test_upsert_by_id_merges_not_replaces(spark, tmp_path):
+    """A second upsert call must MERGE: incoming ids win, untouched
+    existing ids are preserved (OpenSearch doc-upsert semantics), not
+    wiped by a whole-directory overwrite."""
+    out = str(tmp_path / "docs")
+    admin.upsert_by_id(
+        spark.createDataFrame([("a", 1), ("b", 3)], "id string, v long"), "id", out
+    )
+    admin.upsert_by_id(
+        spark.createDataFrame([("a", 9), ("c", 5)], "id string, v long"), "id", out
+    )
+    got = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    assert got == {"a": 9, "b": 3, "c": 5}
 
 
 def test_health_check(spark):

@@ -39,3 +39,20 @@ def test_asof_inclusive_and_ties(spark):
     rows = asof_join(left, right, on="k").collect()
     # equal timestamps match (inclusive) and ties resolve to max(v)
     assert rows[0].v == 7
+
+
+def test_asof_tie_keeps_whole_row(spark):
+    """Multi-value-column ties must resolve to ONE actual right row, not
+    a per-column max that blends tied rows into a row that never existed."""
+    left = _df(spark, [(1, "2024-01-01 10:00:00")], "k long, ts_s string").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) ts"
+    )
+    right = _df(
+        spark,
+        # tied rows: (v=5, w=99) and (v=7, w=1). Per-column max would
+        # fabricate (7, 99); whole-row resolution must return (7, 1).
+        [(1, "2024-01-01 10:00:00", 5, 99), (1, "2024-01-01 10:00:00", 7, 1)],
+        "k long, ts_s string, v long, w long",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) ts", "v", "w")
+    rows = asof_join(left, right, on="k").collect()
+    assert (rows[0].v, rows[0].w) == (7, 1)

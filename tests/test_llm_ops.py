@@ -41,6 +41,32 @@ def test_exact_dedup_keeps_min_id(spark, planted_docs):
     assert out.count() == planted_docs.count() - 20
 
 
+def test_exact_dedup_null_keys_keep_one_survivor(spark):
+    """Null dedup keys follow GROUP BY semantics: one group, min-id
+    survivor — not silently dropped by a null-unsafe semi join."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 3, 5}
+
+
+def test_shingle_ops_tolerate_null_text(spark):
+    """A null text yields no shingles (oracle: regexp over NULL is empty)
+    instead of crashing the whole job inside mapInPandas."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, None),
+         (3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.shingle_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 3)}
+    sigs = dedup.minhash_signatures(df, "doc_id", "text").collect()
+    assert {r.doc for r in sigs} == {1, 3}
+
+
 def test_minhash_estimates_jaccard(spark, planted_docs):
     """MinHash estimate within 0.2 of exact Jaccard on candidate pairs."""
     exact = {
