@@ -8,28 +8,37 @@ on closed inputs against the equivalent batch query').
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..sources.tables import load_table
 from ..streaming import windows as SW
 from .catalog import query
 
 
 def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
-    """Replay events (converted to µs timestamps) through a streaming
-    query; return the fully-materialized memory-sink table."""
+    """Stream the CANONICAL events parquet directly (no per-invocation
+    re-materialization — at scale that temp rewrite is a full extra
+    write+read of the table). events.ts is TIMESTAMP(NANOS), so the
+    stream reads it as long nanos (nanosAsLong) and converts ns->µs
+    inline, identically to sources.tables.load_table. Returns the
+    fully-materialized memory-sink table."""
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     name = f"sq_{uuid.uuid4().hex[:10]}"
     try:
-        src = f"{tmp}/events"
-        load_table(spark, sf_dir, "events").write.parquet(src)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = os.path.join(sf_dir, "events.parquet")
         schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(src)
+        # The streaming file source wants a directory or a glob; the
+        # canonical table is a single file, so glob it (zero-copy).
+        stream = spark.readStream.schema(schema).parquet(src + "*")
+        if isinstance(schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         q = (
             op(stream)
             .writeStream.outputMode(output_mode)
