@@ -3,10 +3,12 @@
 Design: media payloads are opaque ``binary`` columns with a typed
 metadata struct; heavy per-item work (decode, feature-extract, resize,
 frame-sample) runs as Arrow-batched ``mapInPandas`` so each Python
-worker touches a whole batch at a time. Real codecs (PIL/librosa/ffmpeg)
-are NOT in this container, so the decode core is stubbed behind
-``import``-try with a deterministic fake — the Spark-side contract
-(schema, batch iteration, partitioning) is real and tested.
+worker touches a whole batch at a time. Decode is REAL for two
+self-contained formats (uncompressed 24-bit BMP and PCM-16 WAV, parsed
+by .codecs with stdlib+numpy): features are content-derived pixel /
+sample statistics. Heavier codecs (JPEG/MP3/video — PIL/librosa/ffmpeg
+absent from this container) fall back to a deterministic digest
+feature, keeping the pipeline shape exercised either way.
 
 At 100 TB blobs travel by reference where possible: keep a ``uri``
 column and only materialize bytes inside the mapInPandas stage, so the
@@ -75,22 +77,42 @@ def synthesize_media(documents: DataFrame, media_type: str = "image") -> DataFra
 
 
 def _decode(payload: bytes, media_type: str) -> list[float]:
-    """Decode + featurize one payload. Real decoders are not available
-    in this container; fall back to a deterministic digest-based fake
-    feature so the pipeline shape is fully exercised."""
-    try:  # pragma: no cover - decoders absent by design
-        if media_type == "image":
-            from PIL import Image  # noqa: F401
+    """Decode + featurize one payload.
 
-            raise NotImplementedError("real image decode wired when PIL present")
-        if media_type == "audio":
-            import librosa  # noqa: F401
+    Feature layouts (first element tags the decode path so mixed-format
+    batches stay interpretable):
+    - BMP image:  [1.0, width, height, mean_r, mean_g, mean_b,
+                   std_r, std_g, std_b] (channel stats in [0, 1])
+    - WAV audio:  [2.0, duration_s, rms, peak, zero_crossing_rate]
+    - fallback:   [0.0] + 16 digest bytes / 255 (deterministic; used
+                  for formats whose codecs aren't in this container)
+    """
+    import numpy as np
 
-            raise NotImplementedError("real audio decode wired when librosa present")
-    except ImportError:
-        pass
-    digest = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in digest[:16]]
+    from . import codecs
+
+    data = payload or b""
+    try:
+        if data[:2] == b"BM":
+            px = codecs.decode_bmp(data).astype(np.float64) / 255.0
+            h, w = px.shape[0], px.shape[1]
+            means, stds = px.mean(axis=(0, 1)), px.std(axis=(0, 1))
+            return [1.0, float(w), float(h), *map(float, means), *map(float, stds)]
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            rate, samples = codecs.decode_wav(data)
+            dur = len(samples) / rate if rate else 0.0
+            rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+            peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+            zcr = (
+                float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+                if len(samples) > 1
+                else 0.0
+            )
+            return [2.0, float(dur), rms, peak, zcr]
+    except ValueError:
+        pass  # malformed/unsupported variant -> digest fallback
+    digest = hashlib.sha256(data).digest()
+    return [0.0] + [b / 255.0 for b in digest[:16]]
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -115,6 +137,33 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     ensure_shipped(media.sparkSession)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real resize for BMP payloads (nearest-neighbor, re-encoded as
+    BMP); non-BMP payloads pass through untouched. Arrow-batched — the
+    per-image numpy work happens once per batch partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        def one(b):
+            if b is not None and bytes(b[:2]) == b"BM":
+                try:
+                    return codecs.encode_bmp(
+                        codecs.resize_nearest(codecs.decode_bmp(bytes(b)), out_w, out_h)
+                    )
+                except ValueError:
+                    return bytes(b)
+            return None if b is None else bytes(b)
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(one)
+            yield out
+
+    ensure_shipped(media.sparkSession)
+    return media.mapInPandas(run, schema=media.schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

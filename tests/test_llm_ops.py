@@ -148,7 +148,8 @@ def test_multimodal_feature_extraction(spark):
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == docs.count()
-    assert all(len(r.feature) == 16 for r in rows)
+    # text-bytes payloads take the digest fallback: 0.0 tag + 16 bytes
+    assert all(len(r.feature) == 17 and r.feature[0] == 0.0 for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
     # deterministic: same payload -> same digest feature
     again = {r.media_id: r.content_sha256 for r in multimodal.extract_features(media).collect()}
@@ -156,6 +157,77 @@ def test_multimodal_feature_extraction(spark):
     # n_bytes matches the payload length of utf-8 text
     lens = {r.doc_id: len(r.text.encode()) for r in docs.select("doc_id", "text").collect()}
     assert all(lens[r.media_id] == r.n_bytes for r in rows)
+
+
+def _known_media(spark):
+    """One 4x2 BMP (left half red, right half blue) and one 16 kHz WAV
+    (±0.5 amplitude square wave, 0.1 s) with hand-computable stats."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import codecs
+
+    px = np.zeros((2, 4, 3), np.uint8)
+    px[:, :2] = [255, 0, 0]
+    px[:, 2:] = [0, 0, 255]
+    bmp = codecs.encode_bmp(px)
+    wav = codecs.encode_wav(np.tile([16384, -16384], 800).astype(np.int16), 16000)
+    media = spark.createDataFrame(
+        [
+            (1, "synthetic://img", "image", bytearray(bmp), (4, 2, None, "bmp")),
+            (2, "synthetic://aud", "audio", bytearray(wav), (None, None, 100, "wav")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    return px, bmp, wav, media
+
+
+def test_codec_roundtrips():
+    """Encoder/decoder are exact inverses (incl. BMP row padding)."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for w, h in [(4, 2), (3, 5), (1, 1)]:  # w=3 exercises row padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+    samples = rng.integers(-32768, 32768, 1234, dtype=np.int16)
+    rate, got = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.allclose(got, samples.astype(np.float32) / 32768.0)
+
+
+def test_multimodal_real_decode_stats(spark):
+    """extract_features produces genuine content-derived statistics for
+    BMP/WAV payloads (not digest fakes)."""
+    _px, _bmp, _wav, media = _known_media(spark)
+    feats = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
+    img = feats[1]  # [tag, w, h, mean_rgb.., std_rgb..]
+    assert img[0] == 1.0 and (img[1], img[2]) == (4.0, 2.0)
+    # half the pixels are pure red, half pure blue => mean r=b=0.5, g=0
+    assert abs(img[3] - 0.5) < 1e-6 and img[4] == 0.0 and abs(img[5] - 0.5) < 1e-6
+    # each channel is a 0/1 half-split => std 0.5 for r and b, 0 for g
+    assert abs(img[6] - 0.5) < 1e-6 and img[7] == 0.0 and abs(img[8] - 0.5) < 1e-6
+    aud = feats[2]  # [tag, duration_s, rms, peak, zcr]
+    assert aud[0] == 2.0
+    assert abs(aud[1] - 0.1) < 1e-6  # 1600 samples at 16 kHz (float32 storage)
+    assert abs(aud[2] - 0.5) < 1e-6 and abs(aud[3] - 0.5) < 1e-6  # rms & peak
+    assert abs(aud[4] - 1.0) < 1e-3  # square wave crosses zero every sample
+
+
+def test_multimodal_resize(spark):
+    """resize_images really resizes BMP payloads; audio passes through."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import codecs
+
+    px, _bmp, wav, media = _known_media(spark)
+    out = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(media, 2, 1).collect()}
+    resized = codecs.decode_bmp(out[1])
+    assert resized.shape == (1, 2, 3)
+    # nearest-neighbor at x=0 (red) and x=2 (blue)
+    assert np.array_equal(resized[0, 0], px[0, 0]) and np.array_equal(resized[0, 1], px[0, 2])
+    assert out[2] == bytes(wav)  # non-image untouched
 
 
 def test_multimodal_frame_sampling(spark):
