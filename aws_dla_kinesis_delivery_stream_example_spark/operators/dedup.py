@@ -49,11 +49,25 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingle_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    max_df: the 100 TB safety valve for the operator's one quadratic
+    hazard — the self-join fans out O(df^2) pairs per shingle, so a
+    boilerplate shingle shared by millions of docs explodes. Setting
+    max_df drops shingles whose document frequency exceeds it BEFORE
+    the join (both intersections and sizes use the capped shingle set,
+    so the result is still an exact Jaccard — over the rare-shingle
+    space). Identical/near-identical docs still match: they share their
+    rare shingles too. Default None = fully exact (oracle parity).
     """
     # Shingling is the expensive narrow map and feeds three consumers
     # (sizes + both join sides): materialize it once. At 100 TB this is
@@ -62,7 +76,16 @@ def shingle_jaccard_pairs(
     # string: Jaccard is invariant under an injective mapping, the join
     # key shrinks ~4x, and the Python hash pass beats interpreted
     # string-building (see _shingle_hash_rows).
-    sh = _shingle_hash_rows(df, id_col, text_col, n).withColumnRenamed("h", "shingle").persist()
+    sh = _shingle_hash_rows(df, id_col, text_col, n).withColumnRenamed("h", "shingle")
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -297,26 +320,43 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a 16-bit chunk at the
     same position (equi-join on the band key), verified by exact
-    Hamming distance = bit_count(sig_a XOR sig_b)."""
+    Hamming distance = bit_count(sig_a XOR sig_b).
+
+    The band join runs over DISTINCT fingerprints, not docs: a corpus
+    with many identical fingerprints (exact duplicates are common in
+    web data) otherwise turns every hot chunk bucket into an O(n^2)
+    doc-pair blow-up *before* verification. Banding unique sigs caps
+    the join at unique-fingerprint cardinality; doc multiplicity
+    re-attaches after the (tiny) verified sig-pair set — measured on
+    the 10x corpus span this takes the candidate growth exponent from
+    ~2.0 to near-linear (scripts/scale_rehearsal.py).
+    """
     sig = simhash_signatures(df, id_col, text_col).persist()
-    banded = sig.select("doc", "sig", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
+    usig = sig.select("sig", "chunks").distinct()
+    banded = usig.select("sig", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    spair = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.sig") < F.col("b.sig")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    da = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    db = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cross = spair.join(da, "sig_a").join(db, "sig_b").select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "hamming",
     )
+    # identical fingerprints: true duplicate pairs, hamming 0 by identity
+    same = da.join(
+        db,
+        (F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    return cross.unionByName(same)

@@ -86,6 +86,51 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q55_jaccard_freq_capped",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(tk, i, i + 4), ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+        ),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+        sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        WHERE jaccard >= 0.1
+        ORDER BY doc_a, doc_b
+    """,
+    description="Frequency-capped exact Jaccard (max_df=10): the 100 TB "
+    "safety valve that bounds the shingle self-join fan-out to O(max_df^2) "
+    "per shingle while keeping true duplicate pairs (they share rare shingles)",
+    tags=("llm", "dedup"),
+)
+def q55_jaccard_freq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.0, max_df=10)
+    return (
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 3).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "q27_minhash_lsh_dedup",
     oracle=None,  # xxhash64-based: not DuckDB-reproducible; verified in
     # tests/test_llm_ops.py against exact shingle Jaccard.

@@ -76,6 +76,78 @@ def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_streaming_sliding",
+    oracle="""
+        WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30, value FROM events),
+             w AS (SELECT b30 AS wstart, value FROM b
+                   UNION ALL
+                   SELECT b30 - INTERVAL '30 minutes' AS wstart, value FROM b)
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM w
+        GROUP BY wstart
+        ORDER BY window_start
+    """,
+    description="ACTUAL Structured Streaming sliding window (1 h size, "
+    "30 min slide) on the closed events table, hash-checked against the "
+    "batch oracle (every event lands in exactly two windows)",
+    tags=("streaming", "window"),
+)
+def q56_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _stream_events_closed(spark, sf_dir, SW.sliding_counts, "complete")
+    return out.orderBy("window_start")
+
+
+@query(
+    "q57_streaming_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, count(*) AS session_len
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(max(session_len) AS BIGINT) AS longest_session,
+               CAST(sum(session_len) AS BIGINT) AS total_events
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="ACTUAL Structured Streaming session_window (30 min gap) on "
+    "the closed events table. Oracle splits on gap >= 30 min (session_window "
+    "ends are EXCLUSIVE: [start, last_ts + gap)), unlike q22's batch twin "
+    "which uses the strict-> convention on both sides",
+    tags=("streaming", "window", "session"),
+)
+def q57_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _stream_events_closed(spark, sf_dir, SW.session_counts, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("session_len").alias("longest_session"),
+            F.sum("session_len").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q51_streaming_dedup",
     oracle="""
         SELECT user_id, event_type, count(*) AS n

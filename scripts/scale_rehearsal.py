@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the dedup/ANN operator family (SCALE.md §Dedup).
+
+Runs the quadratic-hazard operators across the full 100x span of
+available scale factors (sf0.001 -> sf0.1) and records, per SF:
+
+- wall time per operator
+- CANDIDATE pair counts (the pre-verification join fan-out — the
+  number that must stay near-linear for the banded designs to hold)
+- output pair counts
+
+Prints one JSON line per (sf, op) plus a final summary with the
+log10 growth exponent of candidates vs corpus size between the
+smallest and largest SF (1.0 = perfectly linear; the banded designs
+should sit near 1, the exact-Jaccard path is the one to watch).
+
+Usage: python scripts/scale_rehearsal.py [--max-df N]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup  # noqa: E402
+from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark  # noqa: E402
+from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table  # noqa: E402
+
+SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    max_df = None
+    if "--max-df" in sys.argv:
+        max_df = int(sys.argv[sys.argv.index("--max-df") + 1])
+    spark = get_spark()
+    results: dict[str, dict] = {}
+    for sf, sf_dir in SFS:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        row: dict = {"n_docs": n_docs}
+
+        # exact n-gram Jaccard: candidates = pairs sharing >=1 shingle
+        cand, row["jaccard_sec"] = timed(
+            lambda: dedup.shingle_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.0, max_df=max_df
+            ).count()
+        )
+        row["jaccard_candidates"] = cand
+
+        # MinHash LSH: candidates = banded-join pairs (threshold 0)
+        cand, row["minhash_sec"] = timed(
+            lambda: dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.0).count()
+        )
+        row["minhash_candidates"] = cand
+
+        # SimHash: candidates = chunk-collision pairs (max hamming)
+        cand, row["simhash_sec"] = timed(
+            lambda: dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=64).count()
+        )
+        row["simhash_candidates"] = cand
+
+        # clusters over the q49-style pair set
+        pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=max_df)
+        n_clustered, row["clusters_sec"] = timed(lambda: dedup.duplicate_clusters(pairs).count())
+        row["clustered_docs"] = n_clustered
+
+        results[sf] = row
+        print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
+
+    lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
+    growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
+    summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
+    for op in ("jaccard", "minhash", "simhash"):
+        c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
+        summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
+        summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)
+    print("SCALESUMMARY " + json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,64 @@ def test_minhash_estimates_jaccard(spark, planted_docs):
         assert abs(exact[p] - est[p]) < 0.25
 
 
+def test_jaccard_frequency_cap_keeps_true_dups(spark, planted_docs):
+    """max_df (the quadratic-hazard valve) must not lose genuine
+    duplicates: exact copies share their rare shingles, so they stay
+    jaccard=1.0 even when common shingles are dropped. (Each planted
+    doc's shingles already have df=3 from the base/near/exact trio, so
+    the cap sits above that but well below the corpus size.)"""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.shingle_jaccard_pairs(
+            planted_docs, "doc_id", "text", threshold=0.5, max_df=10
+        ).collect()
+    }
+    for i in range(20):  # planted exact copies at +200000
+        assert pairs.get((i, i + 200000)) == 1.0
+
+
+def test_lsh_recall_floor_sf001(spark):
+    """Quantitative LSH guarantee at sf0.01: recall of MinHash-LSH vs
+    EXACT Jaccard ground truth is >= 0.9 for pairs with J >= 0.7.
+
+    Plants are graded truncations (keep 75/85/95% of each doc's words),
+    so ground-truth pairs straddle the 0.7 threshold; truth is defined
+    by the exact Jaccard, not by the plant mechanics.
+    """
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 40)
+    plants = [docs]
+    for i, frac in enumerate((0.75, 0.85, 0.95), start=1):
+        plants.append(
+            base.select(
+                (F.col("doc_id") + 100000 * i).alias("doc_id"),
+                F.array_join(
+                    F.slice(
+                        F.split("text", " "),
+                        1,
+                        F.ceil(F.size(F.split("text", " ")) * frac).cast("int"),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    all_docs = plants[0]
+    for p in plants[1:]:
+        all_docs = all_docs.unionAll(p)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.shingle_jaccard_pairs(all_docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    truth = {p for p, j in exact.items() if j >= 0.7}
+    assert len(truth) >= 40, "graded plants must produce J>=0.7 ground truth"
+    est = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(all_docs, "doc_id", "text", threshold=0.55).collect()
+    }
+    recall = len(truth & est) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} below floor on {len(truth)} true pairs"
+
+
 def test_minhash_finds_planted_near_dups(spark, planted_docs):
     pairs = {
         (r.doc_a, r.doc_b)
