@@ -168,9 +168,15 @@ class DeliveryPipeline:
                     return True
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # Persist BEFORE the emptiness probe: isEmpty() on the raw frame
+        # would run an extra partial source scan whose rows are added to
+        # the FileStreamSource numInputRows metric (observed 1004 for
+        # 1000 records), corrupting the K8/A4 throughput numbers. On the
+        # cached frame every source partition is read exactly once.
         batch_df = batch_df.persist()
+        if batch_df.isEmpty():
+            batch_df.unpersist()
+            return
         try:
             backup_failed = self._write_backup(batch_df, batch_id)
 
@@ -225,22 +231,45 @@ class DeliveryPipeline:
         finally:
             batch_df.unpersist()
 
-    _ROTATION_FMT = {"OneHour": "yyyy-MM-dd-HH", "OneDay": "yyyy-MM-dd", "OneMonth": "yyyy-MM"}
+    # strftime formats (driver-side): rotation must be computed ONCE per
+    # batch from a durable timestamp, not at executor write time.
+    _ROTATION_FMT = {"OneHour": "%Y-%m-%d-%H", "OneDay": "%Y-%m-%d", "OneMonth": "%Y-%m"}
+
+    def _rotation_epoch(self, batch_id: int) -> float:
+        """Deterministic per-batch delivery time: recorded under
+        ``_index_epoch/<batch_id>`` on the FIRST attempt and re-read on
+        crash-replay, so a replay that crosses a rotation boundary still
+        writes the SAME index as the original attempt (otherwise dynamic
+        overwrite of (batch_id, new-index) would leave (batch_id,
+        old-index) rows behind — duplicate documents)."""
+        import time
+
+        d = os.path.join(self.dest_dir, "_index_epoch")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, str(batch_id))
+        if os.path.exists(f):
+            with open(f) as fh:
+                return float(fh.read().strip())
+        now = time.time()
+        with open(f, "w") as fh:
+            fh.write(repr(now))
+        return now
 
     def _write_documents(self, ok: DataFrame, batch_id: int) -> None:
         """K4: document sink via the pluggable ``DocumentSink`` client
         seam (reference bulk-index: kds_example/oss_utils.py:54-63), with
         one bounded retry (K7); index name rotates by delivery time per
-        ``index_rotation`` (K6)."""
+        ``index_rotation`` (K6) — deterministically per batch (idempotent
+        under replay)."""
         docs = ok.select(
             F.get_json_object("payload", "$.id").alias("id"), F.col("payload")
         )
         if self.index_rotation != "NoRotation":
+            from datetime import datetime
+
             fmt = self._ROTATION_FMT[self.index_rotation]
-            docs = docs.withColumn(
-                "index_name",
-                F.concat(F.lit("documents-"), F.date_format(F.current_timestamp(), fmt)),
-            )
+            stamp = datetime.fromtimestamp(self._rotation_epoch(batch_id)).strftime(fmt)
+            docs = docs.withColumn("index_name", F.lit(f"documents-{stamp}"))
         attempts = 0
         while True:
             try:
@@ -314,8 +343,14 @@ class DeliveryPipeline:
         q = getattr(self, "last_query", None)
         if q is None:
             return {"rows": 0, "duration_ms": 0, "rec_per_s": 0.0}
-        rows, dur = 0, 0
+        # One entry per batchId (last wins): recentProgress can contain
+        # replayed/duplicate entries for the same micro-batch, which must
+        # not double-count in the reconciliation metric.
+        by_batch: dict = {}
         for p in self._progress_dicts(q):
+            by_batch[p.get("batchId")] = p
+        rows, dur = 0, 0
+        for p in by_batch.values():
             rows += p.get("numInputRows", 0) or 0
             dur += (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
         return {

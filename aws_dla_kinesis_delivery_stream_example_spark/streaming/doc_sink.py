@@ -36,20 +36,20 @@ class DocumentSink(abc.ABC):
 
 class ParquetDocumentSink(DocumentSink):
     """The local OpenSearch stand-in: a keyed parquet directory,
-    partitioned by batch_id (idempotent replay) and, when rotation is
-    active, by index_name (K6 parity)."""
+    partitioned by batch_id (idempotent replay); when rotation (K6) is
+    active, ``index_name`` rides as a plain data column. Partitioning by
+    batch_id ALONE is deliberate: replay overwrite must clobber the whole
+    batch even if the (deterministic) index name ever differed, so it can
+    never strand rows under a stale index partition."""
 
     def __init__(self, path: str) -> None:
         self.path = path
 
     def bulk_index(self, docs: DataFrame, batch_id: int) -> None:
-        parts = ["batch_id"]
-        if "index_name" in docs.columns:
-            parts.append("index_name")
         (
             docs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*parts)
+            .partitionBy("batch_id")
             .parquet(self.path)
         )

@@ -159,6 +159,13 @@ def test_index_rotation(spark, source_dir, tmp_path):
     assert len(names) >= 1
     assert all(re.fullmatch(r"documents-\d{4}-\d{2}-\d{2}", n) for n in names)
     assert docs.count() == p.result.n_ok
+    # determinism under replay: the per-batch rotation epoch is recorded
+    # durably at first attempt, so a crash-replay crossing a rotation
+    # boundary re-derives the SAME index name (no stranded duplicates).
+    e0 = p._rotation_epoch(0)
+    assert p._rotation_epoch(0) == e0
+    epoch_dir = os.path.join(str(tmp_path / "rot"), "_index_epoch")
+    assert os.path.isdir(epoch_dir) and os.listdir(epoch_dir)
 
 
 def test_backup_failure_branch(spark, source_dir, tmp_path):

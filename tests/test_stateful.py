@@ -72,5 +72,9 @@ def test_delivery_throughput_metrics(spark, tmp_path):
     p.run()
     tp = p.throughput()
     assert tp["rows"] == 1000 and tp["rec_per_s"] > 0
+    # the progress metric must reconcile with the durable sink counts
+    # (the reference's README.rst:113-124 reconciliation)
+    assert tp["rows"] == p.result.n_input
+    assert tp["rows"] == p.count_sink_records("03-success") + p.result.n_failed
     prog_dir = os.path.join(str(tmp_path / "dest"), "_progress")
     assert os.path.isdir(prog_dir) and any(os.scandir(prog_dir))
