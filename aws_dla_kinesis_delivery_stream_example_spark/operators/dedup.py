@@ -216,7 +216,13 @@ def minhash_near_duplicates(
     )
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
-    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
+    # Re-attach signatures with the CANDIDATE side broadcast: the
+    # candidate set is ~true-positive-sized (tiny next to the corpus), so
+    # both joins become broadcast hash joins and the full signature table
+    # is never shuffled — the re-shuffle of `sig` was the dominant cost
+    # of this stage at sf0.1 and grows with the corpus, while the
+    # broadcast side grows with the duplicate count only.
+    cand = sb.join(F.broadcast(sa.join(F.broadcast(cand), "doc_a")), "doc_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -349,14 +355,29 @@ def simhash_near_duplicates(
     )
     da = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     db = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    cross = spair.join(da, "sig_a").join(db, "sig_b").select(
+    # Doc multiplicity re-attaches with the verified sig-pair set
+    # BROADCAST (it is near-dup-sized, not corpus-sized), so the full
+    # per-doc fingerprint table is never shuffled: both re-attach joins
+    # are broadcast hash joins over the persisted `sig` scan.
+    cross = db.join(F.broadcast(da.join(F.broadcast(spair), "sig_a")), "sig_b").select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
         "hamming",
     )
-    # identical fingerprints: true duplicate pairs, hamming 0 by identity
-    same = da.join(
-        db,
-        (F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")),
-    ).select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    # identical fingerprints: true duplicate pairs, hamming 0 by identity.
+    # Restrict both sides to fingerprints that actually repeat (a tiny,
+    # broadcastable set) before the self-join — otherwise the equi-join
+    # shuffles the whole corpus to produce a duplicate-sized output.
+    dup_sigs = (
+        sig.groupBy("sig").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("sig")
+    )
+    dup_docs = sig.join(F.broadcast(dup_sigs), "sig", "left_semi").select("doc", "sig")
+    x, y = dup_docs.alias("x"), dup_docs.alias("y")
+    same = x.join(
+        y, (F.col("x.sig") == F.col("y.sig")) & (F.col("x.doc") < F.col("y.doc"))
+    ).select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("y.doc").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
     return cross.unionByName(same)

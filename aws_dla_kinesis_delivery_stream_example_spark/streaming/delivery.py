@@ -144,18 +144,21 @@ class DeliveryPipeline:
             .save(path)
         )
 
-    def _write_backup(self, batch_df: DataFrame, batch_id: int) -> bool:
+    def _write_backup(self, with_json: DataFrame, batch_id: int) -> bool:
         """K3: raw pre-transform backup with one bounded retry; on a
         second failure the original rows land under ``02-backup-failed/``
         (reference kds_example/iac/s2_app.py:806-808). Returns True when
-        the failure branch was taken."""
+        the failure branch was taken. Writes the pre-serialized
+        ``json_line`` column as text — same JSON-lines layout as the
+        json writer, but reuses the one cached serialization pass."""
+        lines = with_json.select("json_line")
         attempts = 0
         while True:
             try:
                 if self.backup_failure_injector and self.backup_failure_injector(attempts):
                     raise IOError("injected backup-sink failure")
                 self._write_partitioned(
-                    batch_df, self.path(PREFIX_BACKUP), str(batch_id), "json"
+                    lines, self.path(PREFIX_BACKUP), str(batch_id), "text"
                 )
                 return False
             except Exception:
@@ -163,26 +166,29 @@ class DeliveryPipeline:
                 self.result.backup_retries += 1
                 if attempts > 1:  # NumberOfRetries=1 parity
                     self._write_partitioned(
-                        batch_df, self.path(PREFIX_BACKUP_FAILED), str(batch_id), "json"
+                        lines, self.path(PREFIX_BACKUP_FAILED), str(batch_id), "text"
                     )
                     return True
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # Persist BEFORE the emptiness probe: isEmpty() on the raw frame
-        # would run an extra partial source scan whose rows are added to
-        # the FileStreamSource numInputRows metric (observed 1004 for
-        # 1000 records), corrupting the K8/A4 throughput numbers. On the
-        # cached frame every source partition is read exactly once.
-        batch_df = batch_df.persist()
-        if batch_df.isEmpty():
-            batch_df.unpersist()
+        # Serialize the original rows to JSON ONCE and cache THAT frame:
+        # the raw backup (K3) and the transform input share json_line, so
+        # caching post-serialization saves a whole Jackson pass per batch
+        # (the round-2 plan serialized once for the json-format backup
+        # writer and again for the transform input). Persisting BEFORE
+        # the emptiness probe also keeps isEmpty() from adding an extra
+        # partial source scan to the FileStreamSource numInputRows metric
+        # (observed 1004 rows reported for 1000 records): on the cached
+        # frame every source partition is read exactly once.
+        with_json = batch_df.withColumn(
+            "json_line", F.to_json(F.struct(*batch_df.columns))
+        ).persist()
+        if with_json.isEmpty():
+            with_json.unpersist()
             return
         try:
-            backup_failed = self._write_backup(batch_df, batch_id)
+            backup_failed = self._write_backup(with_json, batch_id)
 
-            with_json = batch_df.withColumn(
-                "json_line", F.to_json(F.struct(*batch_df.columns))
-            )
             if self.transform_fn is not None:
                 transformed = apply_transform(with_json, fn=self.transform_fn)
             else:  # identity fast path: stays fully JVM-side (T3/T4)
@@ -202,22 +208,31 @@ class DeliveryPipeline:
             ).persist()
 
             ok = transformed.filter(F.col("status") == STATUS_OK)
-            failed = transformed.filter(F.col("status") == STATUS_FAILED)
 
             # K1: success sink — one JSON-lines "object" per partition per
-            # flush, exactly the Firehose buffer-flush layout.
+            # flush, exactly the Firehose buffer-flush layout. This is the
+            # first action over `transformed`, so `obs` is populated after
+            # it — letting the empty error-sink / doc-sink jobs be skipped
+            # instead of launching full passes that write zero rows.
             self._write_partitioned(
                 ok.select("payload"), self.path(PREFIX_SUCCESS), str(batch_id), "text"
             )
-            # K2: error sink keeps the ORIGINAL payload.
-            self._write_partitioned(
-                failed.select("payload"), self.path(PREFIX_FAILED), str(batch_id), "text"
-            )
-
-            if self.document_sink:
-                self._write_documents(ok, batch_id)
-
             m = obs.get  # blocks until the first action over `transformed`
+
+            if (m["n_failed"] or 0) > 0:
+                # K2: error sink keeps the ORIGINAL payload.
+                failed = transformed.filter(F.col("status") == STATUS_FAILED)
+                self._write_partitioned(
+                    failed.select("payload"), self.path(PREFIX_FAILED), str(batch_id), "text"
+                )
+
+            if self.document_sink and (m["n_ok"] or 0) > 0:
+                # Identity path: payload IS the serialized input row, so
+                # the document id can come straight from the original
+                # column instead of a per-row JSON re-parse in the sink.
+                id_from_col = self.transform_fn is None and "id" in batch_df.columns
+                self._write_documents(ok, batch_id, id_from_col=id_from_col)
+
             self.result.n_input += m["n_input"]
             self.result.n_ok += m["n_ok"] or 0
             self.result.n_failed += m["n_failed"] or 0
@@ -229,7 +244,7 @@ class DeliveryPipeline:
             self.result.n_batches += 1
             transformed.unpersist()
         finally:
-            batch_df.unpersist()
+            with_json.unpersist()
 
     # strftime formats (driver-side): rotation must be computed ONCE per
     # batch from a durable timestamp, not at executor write time.
@@ -255,15 +270,20 @@ class DeliveryPipeline:
             fh.write(repr(now))
         return now
 
-    def _write_documents(self, ok: DataFrame, batch_id: int) -> None:
+    def _write_documents(
+        self, ok: DataFrame, batch_id: int, id_from_col: bool = False
+    ) -> None:
         """K4: document sink via the pluggable ``DocumentSink`` client
         seam (reference bulk-index: kds_example/oss_utils.py:54-63), with
         one bounded retry (K7); index name rotates by delivery time per
         ``index_rotation`` (K6) — deterministically per batch (idempotent
         under replay)."""
-        docs = ok.select(
-            F.get_json_object("payload", "$.id").alias("id"), F.col("payload")
+        id_col = (
+            F.col("id").cast("string")
+            if id_from_col
+            else F.get_json_object("payload", "$.id")
         )
+        docs = ok.select(id_col.alias("id"), F.col("payload"))
         if self.index_rotation != "NoRotation":
             from datetime import datetime
 
