@@ -36,6 +36,27 @@ from ..shipping import ensure_shipped
 _SCORE_SCHEMA = "q_id long, vec_id long, cos_sim double"
 _PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
 
+# "queries are small" is a CONTRACT, not a hope: the query matrix ships
+# inside every task closure, so an unbounded query set OOMs the driver
+# and every executor. The cap is generous for the ANN-query use case;
+# a larger workload is a join problem, not a closure problem.
+MAX_QUERY_VECTORS = 10_000
+
+
+def _collect_queries(queries: DataFrame, op_name: str) -> pd.DataFrame:
+    """Enforce the small-queries contract BEFORE collecting: probe one
+    row past the cap (limit pushdown — never a full count of an
+    arbitrarily large frame) and fail with guidance instead of OOMing."""
+    probe = queries.limit(MAX_QUERY_VECTORS + 1).toPandas()
+    if len(probe) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"{op_name}: query set exceeds MAX_QUERY_VECTORS="
+            f"{MAX_QUERY_VECTORS}; queries ship in the task closure and "
+            "must stay small. For bulk query sets, run "
+            "embedding_near_duplicates-style bucketed joins instead."
+        )
+    return probe
+
 
 def _unit_rows(series: pd.Series) -> np.ndarray:
     m = np.vstack(series.to_numpy()).astype("float64")
@@ -90,8 +111,9 @@ def _empty_topk(spark) -> DataFrame:
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """Exact top-k cosine per query. queries must be small (they are
-    collected and shipped in the task closure, broadcast-style)."""
-    qp = queries.toPandas()
+    collected and shipped in the task closure, broadcast-style);
+    enforced by ``MAX_QUERY_VECTORS``."""
+    qp = _collect_queries(queries, "brute_force_topk")
     if len(qp) == 0:
         return _empty_topk(candidates.sparkSession)
     q_mat = _unit_rows(qp["q_emb"])
@@ -103,7 +125,7 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, k: int = 5, n_bits: int 
     """Approximate top-k: probe ONLY the query's sign-pattern bucket.
     One pruned scan per populated query bucket (<= 2**n_bits branches,
     each a partition-prunable filter at scale)."""
-    qp = queries.toPandas()
+    qp = _collect_queries(queries, "ivf_topk")
     if len(qp) == 0:
         return _empty_topk(candidates.sparkSession)
     q_mat = _unit_rows(qp["q_emb"])

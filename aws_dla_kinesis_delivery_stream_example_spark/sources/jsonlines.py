@@ -86,23 +86,55 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 2500):
     )
 
 
-def kinesis_reader(spark: SparkSession, stream_name: str, region: str = "us-east-1"):
+def decode_kinesis_records(raw: DataFrame, schema) -> DataFrame:
+    """D1 parity over the Kinesis record envelope: the connector emits
+    (data binary, partitionKey, sequenceNumber,
+    approximateArrivalTimestamp); decode data -> utf8 -> json struct and
+    keep the stream metadata columns (reference consumer decode:
+    kds_example/kds_helper.py:29-36)."""
+    parsed = F.from_json(F.col("data").cast("string"), schema)
+    return raw.select(
+        parsed.alias("_r"),
+        "partitionKey",
+        "sequenceNumber",
+        "approximateArrivalTimestamp",
+    ).select("_r.*", "partitionKey", "sequenceNumber", "approximateArrivalTimestamp")
+
+
+def kinesis_reader(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    schema=None,
+    fmt: str = "aws-kinesis",
+    starting_position: str = "LATEST",
+):
     """S3 binding on a real cluster: Structured Streaming Kinesis source.
-    The connector jar (e.g. spark-sql-kinesis) is not in this image, so
-    this raises with instructions rather than failing obscurely."""
+
+    ``fmt`` selects the connector implementation — the real
+    spark-sql-kinesis jar ("aws-kinesis", not in this image) or the
+    in-process Python Data Source shim ("fake-kinesis",
+    sources/kinesis_testing.py) that emits the same record envelope for
+    integration tests / local development. With ``schema`` set, the
+    payload is decoded (D1) and stream metadata columns are preserved.
+    """
     try:
-        return (
-            spark.readStream.format("aws-kinesis")
+        raw = (
+            spark.readStream.format(fmt)
             .option("kinesis.streamName", stream_name)
             .option("kinesis.region", region)
-            .option("kinesis.startingposition", "LATEST")
+            .option("kinesis.startingposition", starting_position)
             .load()
         )
     except Exception as exc:  # pragma: no cover - connector absent locally
         raise NotImplementedError(
-            "Kinesis connector jar not on classpath; add a "
-            "spark-sql-kinesis connector package and retry"
+            "Kinesis connector not available; add a spark-sql-kinesis "
+            "connector package (or register the fake-kinesis testing "
+            "source) and retry"
         ) from exc
+    if schema is None:
+        return raw
+    return decode_kinesis_records(raw, schema)
 
 
 def unique_dir(base: str) -> str:

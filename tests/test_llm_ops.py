@@ -185,6 +185,24 @@ def test_ivf_topk_is_subset_of_bruteforce_space(spark):
     assert any(in_bf)
 
 
+def test_topk_query_cap_guards_driver_collect(spark, monkeypatch):
+    """The queries-are-small contract is ENFORCED: an over-cap query set
+    raises with guidance instead of collecting unbounded data onto the
+    driver (and into every task closure)."""
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_QUERY_VECTORS", 5)
+    big = similarity.as_queries(emb.filter(F.col("vec_id") < 20))
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        similarity.brute_force_topk(emb, big, k=3)
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        similarity.ivf_topk(emb, big, k=3)
+    # at the cap it still runs
+    ok = similarity.brute_force_topk(emb, similarity.as_queries(emb.filter(F.col("vec_id") < 5)), k=3)
+    assert ok.count() == 15
+
+
 def test_embedding_near_duplicates_detects_planted(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     copies = emb.filter(F.col("vec_id") < 10).select(
