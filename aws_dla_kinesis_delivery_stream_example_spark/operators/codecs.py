@@ -50,8 +50,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     flipped = h > 0  # positive height = bottom-up storage
     h = abs(h)
+    # corrupt headers (negative/zero width, zero height) must fail here,
+    # not decode to an empty array whose stats are NaN downstream
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
+    if data_offset + stride * h > len(data):
+        raise ValueError("truncated BMP payload")
     raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=data_offset)
     rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
     if flipped:
@@ -85,18 +91,28 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, rate, pcm = 12, None, None
-    while pos + 8 <= len(data):
-        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
-        body = data[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            audio_fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM-16 WAV supported")
-        elif cid == b"data":
-            pcm = body
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or pcm is None:
+    # struct.error from a truncated chunk must surface as ValueError so
+    # one malformed payload takes the digest fallback instead of
+    # crashing the whole Spark job.
+    try:
+        while pos + 8 <= len(data):
+            cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError("only PCM-16 WAV supported")
+                if channels != 1:
+                    # stereo would decode with interleaved samples and
+                    # silently wrong duration/RMS/ZCR
+                    raise ValueError(f"only mono WAV supported (channels={channels})")
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+    except struct.error as exc:
+        raise ValueError(f"truncated WAV chunk: {exc}") from exc
+    if rate is None or pcm is None or rate == 0:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    samples = np.frombuffer(pcm[: len(pcm) - len(pcm) % 2], dtype="<i2").astype(np.float32) / 32768.0
     return rate, samples

@@ -3,12 +3,14 @@
 Design: media payloads are opaque ``binary`` columns with a typed
 metadata struct; heavy per-item work (decode, feature-extract, resize,
 frame-sample) runs as Arrow-batched ``mapInPandas`` so each Python
-worker touches a whole batch at a time. Decode is REAL for two
-self-contained formats (uncompressed 24-bit BMP and PCM-16 WAV, parsed
-by .codecs with stdlib+numpy): features are content-derived pixel /
-sample statistics. Heavier codecs (JPEG/MP3/video — PIL/librosa/ffmpeg
-absent from this container) fall back to a deterministic digest
-feature, keeping the pipeline shape exercised either way.
+worker touches a whole batch at a time. Decode is REAL for three
+formats parsed with stdlib+numpy: uncompressed 24-bit BMP and PCM-16
+WAV (.codecs) and baseline JPEG incl. 4:2:0 (.jpeg) — features are
+content-derived pixel / sample statistics. Remaining codecs (MP3/video
+— librosa/ffmpeg absent from this container) fall back to a
+deterministic digest feature, keeping the pipeline shape exercised
+either way; malformed payloads of ANY format take the same fallback
+instead of failing the job.
 
 At 100 TB blobs travel by reference where possible: keep a ``uri``
 column and only materialize bytes inside the mapInPandas stage, so the
@@ -84,20 +86,36 @@ def _decode(payload: bytes, media_type: str) -> list[float]:
     - BMP image:  [1.0, width, height, mean_r, mean_g, mean_b,
                    std_r, std_g, std_b] (channel stats in [0, 1])
     - WAV audio:  [2.0, duration_s, rms, peak, zero_crossing_rate]
+    - JPEG image: [3.0, width, height, mean_r, mean_g, mean_b,
+                   std_r, std_g, std_b] (baseline decode, .jpeg module)
     - fallback:   [0.0] + 16 digest bytes / 255 (deterministic; used
                   for formats whose codecs aren't in this container)
     """
+    import struct as _struct
+
     import numpy as np
 
-    from . import codecs
+    from . import codecs, jpeg
+
+    def _img_stats(px: "np.ndarray", tag: float) -> list[float]:
+        scaled = px.astype(np.float64) / 255.0
+        h, w = scaled.shape[0], scaled.shape[1]
+        means, stds = scaled.mean(axis=(0, 1)), scaled.std(axis=(0, 1))
+        out = [tag, float(w), float(h), *map(float, means), *map(float, stds)]
+        if not all(np.isfinite(v) for v in out):
+            raise ValueError("non-finite image stats")
+        return out
 
     data = payload or b""
+    # codecs raise ValueError on malformed payloads by contract, but a
+    # hostile/corrupt byte stream can still surface struct/Index errors
+    # from parsing — ALL of them must hit the digest fallback rather
+    # than crash the Spark job on one bad record.
     try:
         if data[:2] == b"BM":
-            px = codecs.decode_bmp(data).astype(np.float64) / 255.0
-            h, w = px.shape[0], px.shape[1]
-            means, stds = px.mean(axis=(0, 1)), px.std(axis=(0, 1))
-            return [1.0, float(w), float(h), *map(float, means), *map(float, stds)]
+            return _img_stats(codecs.decode_bmp(data), 1.0)
+        if data[:2] == b"\xff\xd8":
+            return _img_stats(jpeg.decode_jpeg(data), 3.0)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             rate, samples = codecs.decode_wav(data)
             dur = len(samples) / rate if rate else 0.0
@@ -108,8 +126,10 @@ def _decode(payload: bytes, media_type: str) -> list[float]:
                 if len(samples) > 1
                 else 0.0
             )
-            return [2.0, float(dur), rms, peak, zcr]
-    except ValueError:
+            out = [2.0, float(dur), rms, peak, zcr]
+            if all(np.isfinite(v) for v in out):
+                return out
+    except (ValueError, _struct.error, IndexError):
         pass  # malformed/unsupported variant -> digest fallback
     digest = hashlib.sha256(data).digest()
     return [0.0] + [b / 255.0 for b in digest[:16]]
@@ -140,22 +160,32 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Real resize for BMP payloads (nearest-neighbor, re-encoded as
-    BMP); non-BMP payloads pass through untouched. Arrow-batched — the
-    per-image numpy work happens once per batch partition."""
+    """Real resize for BMP and JPEG payloads (nearest-neighbor,
+    re-encoded in the source format); other payloads pass through
+    untouched. Arrow-batched — the per-image numpy work happens once
+    per batch partition."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import codecs
+        import struct as _struct
+
+        from . import codecs, jpeg
 
         def one(b):
-            if b is not None and bytes(b[:2]) == b"BM":
-                try:
+            if b is None:
+                return None
+            raw = bytes(b)
+            try:
+                if raw[:2] == b"BM":
                     return codecs.encode_bmp(
-                        codecs.resize_nearest(codecs.decode_bmp(bytes(b)), out_w, out_h)
+                        codecs.resize_nearest(codecs.decode_bmp(raw), out_w, out_h)
                     )
-                except ValueError:
-                    return bytes(b)
-            return None if b is None else bytes(b)
+                if raw[:2] == b"\xff\xd8":
+                    return jpeg.encode_jpeg(
+                        codecs.resize_nearest(jpeg.decode_jpeg(raw), out_w, out_h)
+                    )
+            except (ValueError, _struct.error, IndexError):
+                pass  # malformed: pass through untouched
+            return raw
 
         for pdf in batches:
             out = pdf.copy()

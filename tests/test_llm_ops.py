@@ -306,6 +306,102 @@ def test_multimodal_resize(spark):
     assert out[2] == bytes(wav)  # non-image untouched
 
 
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG encode/decode in numpy: gradient images survive a
+    roundtrip with small error, in 4:4:4 and 4:2:0, RGB and grayscale,
+    at non-multiple-of-8 dimensions; malformed inputs raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import jpeg
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(yy * 3) % 256, (xx * 4) % 256, ((yy + xx) * 2) % 256], axis=-1).astype(
+        np.uint8
+    )
+    for sub in ("444", "420"):
+        data = jpeg.encode_jpeg(px, quality=90, subsampling=sub)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        out = jpeg.decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 10.0
+    gray = ((yy * 5 + xx * 2) % 256).astype(np.uint8)
+    og = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, quality=90))
+    assert og.shape == (h, w, 3)
+    assert np.abs(og[:, :, 0].astype(int) - gray.astype(int)).mean() < 6.0
+    # flat color is exact at high quality
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert np.abs(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=95)).astype(int) - 128
+    ).max() == 0
+    full = jpeg.encode_jpeg(px)
+    for bad in (b"", b"\xff\xd8\xff", full[:40], b"\xff\xd8" + b"\x00" * 50):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bad)
+
+
+def test_multimodal_jpeg_features_and_resize(spark):
+    """A real JPEG fixture flows through extract_features (tag 3.0,
+    content-derived channel stats) and resize_images (re-encoded JPEG
+    at the target size) — multimodal decode is no longer partial."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import jpeg
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:, :8] = [255, 0, 0]
+    px[:, 8:] = [0, 0, 255]
+    payload = jpeg.encode_jpeg(px, quality=95)
+    media = spark.createDataFrame(
+        [(7, "synthetic://jpg", "image", bytearray(payload), (16, 16, None, "jpeg"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feat = multimodal.extract_features(media).collect()[0].feature
+    assert feat[0] == 3.0 and (feat[1], feat[2]) == (16.0, 16.0)
+    # half red / half blue: mean r ~= b ~= 0.5, g ~= 0
+    assert abs(feat[3] - 0.5) < 0.05 and feat[4] < 0.05 and abs(feat[5] - 0.5) < 0.05
+    out = bytes(multimodal.resize_images(media, 8, 8).collect()[0].payload)
+    resized = jpeg.decode_jpeg(out)
+    assert resized.shape == (8, 8, 3)
+    assert resized[0, 0, 0] > 200 and resized[0, 7, 2] > 200  # still red|blue
+
+
+def test_multimodal_malformed_payloads_fall_back(spark):
+    """Corrupt media of every family (truncated WAV fmt, stereo WAV,
+    negative-width BMP, truncated JPEG) must take the digest fallback,
+    never crash the job or emit NaN features."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import codecs, jpeg
+
+    wav = codecs.encode_wav(np.array([1000, -1000] * 50, np.int16))
+    truncated_wav = wav[:20]  # cut inside the fmt chunk
+    stereo = bytearray(wav)
+    stereo[22] = 2  # channels=2 in fmt
+    bmp = codecs.encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    neg_bmp = bytearray(bmp)
+    neg_bmp[18:22] = (0xFFFFFFFF).to_bytes(4, "little")  # signed width = -1
+    bad_jpeg = jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8))[:30]
+    media = spark.createDataFrame(
+        [
+            (1, "u1", "audio", bytearray(truncated_wav), (None, None, None, "wav")),
+            (2, "u2", "audio", bytes(stereo), (None, None, None, "wav")),
+            (3, "u3", "image", bytes(neg_bmp), (2, 2, None, "bmp")),
+            (4, "u4", "image", bytearray(bad_jpeg), (8, 8, None, "jpeg")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(media).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.feature[0] == 0.0 and len(r.feature) == 17  # digest fallback
+        assert all(np.isfinite(v) for v in r.feature)
+    # resize passes malformed payloads through untouched
+    out = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(media, 4, 4).collect()}
+    assert out[3] == bytes(neg_bmp) and out[4] == bytes(bad_jpeg)
+
+
 def test_multimodal_frame_sampling(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     media = multimodal.synthesize_media(docs, media_type="video")
