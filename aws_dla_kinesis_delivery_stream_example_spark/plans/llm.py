@@ -537,3 +537,69 @@ def q37_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("content_hash"),
         F.xxhash64(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("normalized_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (SURVEY.md §2.11 'Multimodal columns')
+# ---------------------------------------------------------------------------
+
+@query(
+    "q58_multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(sha256(text)) AS content_sha256,
+               0.0 AS decode_tag
+        FROM documents
+        ORDER BY media_id
+    """,
+    description="Multimodal featurize plumbing: synthesized media "
+    "payloads through the Arrow-batched extract_features stage; byte "
+    "counts + sha256 content addresses are oracle-checked, and the "
+    "decode tag proves the non-media payloads took the digest path",
+    tags=("llm", "multimodal"),
+)
+def q58_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.synthesize_media(docs))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_sha256",
+        F.round(F.element_at("feature", 1), 1).cast("double").alias("decode_tag"),
+    ).orderBy("media_id")
+
+
+@query(
+    "q59_frame_sampling",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(n_chars * 10 AS BIGINT) // 1000 + 1 AS n_frames,
+               CAST(n_chars * 10 AS BIGINT) - (CAST(n_chars * 10 AS BIGINT) % 1000)
+                   AS last_frame_ms
+        FROM documents
+        ORDER BY media_id
+    """,
+    description="Video frame-sampling plumbing: sequence+explode frame "
+    "expansion (one row per sampled frame timestamp), aggregated back "
+    "to per-media frame counts — pure built-ins, no Python",
+    tags=("llm", "multimodal", "streaming-adjacent"),
+)
+def q59_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, media_type="video")
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ms").cast("long").alias("last_frame_ms"),
+        )
+        .orderBy("media_id")
+    )
