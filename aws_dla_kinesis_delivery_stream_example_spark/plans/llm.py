@@ -603,3 +603,151 @@ def q59_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (SURVEY.md §2.11 extension: the remaining
+# steps a training-data pipeline runs after dedup/quality — splitting,
+# redaction, sampling, budget capping). All pure built-ins: whole-stage
+# codegen, shuffle only on the final aggregation keys.
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)):
+# engine-independent integer arithmetic, reproducible in any SQL engine
+# (unlike xxhash64/md5-hex-to-int conversions).
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 2147483647
+
+
+@query(
+    "q60_hash_split",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS bucket,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM b GROUP BY split ORDER BY split
+    """,
+    description="Deterministic train/val/test split by multiplicative "
+    "hash of doc_id (80/10/10): reproducible across engines and runs, "
+    "no shuffle beyond the 3-row aggregate",
+    tags=("llm", "curation"),
+)
+def q60_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), TX.bpe_token_count("text").alias("n_tok"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "q61_pii_redaction",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[0-9][0-9]+')) AS n_num,
+                   regexp_replace(text, '[0-9][0-9]+', '<NUM>', 'g') AS red
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_num AS BIGINT) AS n_redactions,
+               CAST(length(red) AS BIGINT) AS redacted_len
+        FROM r
+        WHERE n_num > 0
+        ORDER BY doc_id
+    """,
+    description="PII-style redaction pass: multi-digit runs replaced by "
+    "a <NUM> sentinel (the id/phone/account scrub shape); per-doc "
+    "redaction counts + redacted lengths are the audit trail",
+    tags=("llm", "curation"),
+)
+def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[0-9][0-9]+"
+    red = F.regexp_replace("text", pat, "<NUM>")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long")
+    return (
+        docs.select(
+            "doc_id", n.alias("n_redactions"), F.length(red).cast("long").alias("redacted_len")
+        )
+        .filter(F.col("n_redactions") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q62_stratified_sample",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 100
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+    description="Deterministic ~10% stratified sample per language "
+    "(multiplicative-hash gate, no RNG): reproducible corpus subsets "
+    "with per-stratum accounting",
+    tags=("llm", "curation"),
+)
+def q62_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = ((F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 1000 < 100).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum(sampled).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q63_token_budget",
+    oracle="""
+        WITH t AS (
+            SELECT source, doc_id,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT source,
+               count(*) AS n_docs_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+        FROM c WHERE cum <= 20000
+        GROUP BY source ORDER BY source
+    """,
+    description="Per-source token budget cap: running-sum window in "
+    "doc_id order, keep documents while the cumulative token count "
+    "stays within budget — the sampling-to-a-token-target primitive",
+    tags=("llm", "curation", "window"),
+)
+def q63_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", TX.bpe_token_count("text").alias("n_tok"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= 20000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"), F.sum("n_tok").alias("tokens_kept"))
+        .orderBy("source")
+    )
