@@ -16,10 +16,16 @@ same source directory, each with its own checkpoint — exactly the
 reference's two Firehose streams consuming one Kinesis stream
 (kds_example/iac/s2_app.py:314-316, :837-839).
 
-Buffering parity (B1/B2/B4): Firehose's 60 s / 5 MB flush maps to
-``trigger(processingTime=...)`` — the documented deviation is that
-size-based flush is approximated by the trigger interval plus
-``maxFilesPerTrigger`` on the source (SURVEY.md §4.2a).
+Buffering parity (B1/B2/B4): Firehose's 60 s / 5 MB either-or flush maps
+to ``trigger(processingTime="60 seconds")`` for the time condition plus
+``max_buffer_bytes=5*1024*1024`` (the file source's maxBytesPerTrigger)
+for the size condition — the reference's BufferingHints
+(kds_example/iac/s2_app.py:323-326). Spark admits whole files, so a
+flush can overshoot the cap by at most one file — the same "at least
+one record" rounding Firehose itself documents. ``max_files_per_trigger``
+selects the file-count cap instead (the two source limits are mutually
+exclusive in Spark); with neither set, availableNow drain mode admits up
+to 1000 files per flush.
 
 Exactly-once: checkpointed source offsets + *idempotent per-batch_id
 sink writes*. Every sink write lands under a ``batch_id=N`` partition
@@ -95,6 +101,13 @@ class DeliveryPipeline:
     document_sink: bool = False
     trigger_seconds: int | None = None  # None => availableNow (drain & stop)
     max_files_per_trigger: int | None = None
+    # B1 size-based flush: cap on source bytes admitted per micro-batch
+    # (set 5*1024*1024 with trigger_seconds=60 for the reference's
+    # BufferingHints 60 s / 5 MB either-or flush). Left None by default:
+    # in availableNow drain mode a byte cap only throttles the drain.
+    # Mutually exclusive with max_files_per_trigger (Spark rejects
+    # both); the file-count cap wins when explicitly set.
+    max_buffer_bytes: int | None = None
     doc_sink_failure_injector: Callable[[int], bool] | None = None  # test hook
     backup_failure_injector: Callable[[int], bool] | None = None  # test hook (K3)
     # K4 client seam: pass a DocumentSink implementation (e.g. a real
@@ -316,11 +329,14 @@ class DeliveryPipeline:
     def run(self, await_termination: bool = True):
         """Start the streaming query. With trigger_seconds=None uses
         availableNow (drain the source and stop — the test/bench mode)."""
-        reader = (
-            self.spark.readStream.schema(self.payload_schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .json(self.source_dir)
-        )
+        reader = self.spark.readStream.schema(self.payload_schema)
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        elif self.max_buffer_bytes is not None:
+            reader = reader.option("maxBytesPerTrigger", self.max_buffer_bytes)
+        else:
+            reader = reader.option("maxFilesPerTrigger", 1000)
+        reader = reader.json(self.source_dir)
         writer = reader.writeStream.foreachBatch(self._process_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

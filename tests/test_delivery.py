@@ -260,3 +260,28 @@ def test_dual_delivery_topology(spark, source_dir, tmp_path):
     assert dual.reconciled()
     c = dual.counts()
     assert c["s3_ok"] == c["n_input"] == c["docs_ok"] == c["docs_indexed"]
+
+
+def test_byte_size_flush(spark, source_dir, tmp_path):
+    """B1 size-based flush: ``max_buffer_bytes`` maps to the file
+    source's maxBytesPerTrigger, so each micro-batch admits at most the
+    byte cap (whole-file rounding) — the Firehose BufferingHints
+    SizeInMBs condition (iac/s2_app.py:323-326), previously only
+    approximated by trigger interval + file count."""
+    import glob
+
+    files = [f for f in glob.glob(os.path.join(source_dir, "part-*")) if not f.endswith(".crc")]
+    sizes = [os.path.getsize(f) for f in files]
+    cap = max(sizes) + 1  # ~one file per flush after whole-file rounding
+    p = DeliveryPipeline(spark, source_dir, str(tmp_path / "bytes"), max_buffer_bytes=cap)
+    p.run()
+    n_source = spark.read.text(source_dir).count()
+    assert p.result.n_input == n_source  # no rows lost to the batching change
+    progress = [
+        pr for pr in p._progress_dicts(p.last_query) if pr.get("numInputRows", 0) > 0
+    ]
+    # 10+ source files at ~one file per flush: strictly more than one
+    # micro-batch, and no batch admits more than cap + one file of rows.
+    assert len(progress) > 1
+    max_rows_per_file = max(spark.read.text(f).count() for f in files)
+    assert all(pr["numInputRows"] <= 2 * max_rows_per_file for pr in progress)
