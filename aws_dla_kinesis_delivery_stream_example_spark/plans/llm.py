@@ -372,6 +372,53 @@ def q34_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q70_ivf_multiprobe",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id, embedding,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q_id, vec_id,
+                   {_DOT_DUCK} / ({_NORM_Q} * {_NORM_C}) AS cos
+            FROM c JOIN q
+              ON c.bucket IN (q.bucket, xor(q.bucket, 4), xor(q.bucket, 2),
+                              xor(q.bucket, 1))
+            WHERE vec_id <> q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn
+        FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn
+    """,
+    description="Multi-probe IVF ANN: each query probes its sign bucket "
+    "plus all Hamming-1 neighbors, recovering boundary-straddling "
+    "vectors the single probe misses — the recall lever that keeps the "
+    "2**n_bits candidate reduction",
+    tags=("llm", "similarity"),
+)
+def q70_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = similarity.as_queries(emb.filter(F.col("vec_id") < 5))
+    return similarity.ivf_topk(emb, queries, k=5, n_bits=3, hamming_probes=1).orderBy(
+        "q_id", "rn"
+    )
+
+
+@query(
     "q35_embedding_stats",
     oracle="""
         SELECT label,

@@ -418,3 +418,21 @@ def test_duplicate_clusters_components(spark):
     )
     out = {r.doc: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 multi-probe must (a) score identically to brute force
+    on every pair it returns, and (b) never lose a candidate the single
+    probe found — strictly more buckets are scanned per query, so
+    recall vs the exact top-k can only go up."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = similarity.as_queries(emb.filter(F.col("vec_id") < 20))
+    bf_top = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    single = similarity.ivf_topk(emb, queries, k=5, n_bits=3)
+    multi = similarity.ivf_topk(emb, queries, k=5, n_bits=3, hamming_probes=1)
+    s_hits = {(r.q_id, r.vec_id) for r in single.collect()} & bf_top
+    m_hits = {(r.q_id, r.vec_id) for r in multi.collect()} & bf_top
+    assert len(m_hits) >= len(s_hits)
