@@ -353,35 +353,83 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """SimHash near-dup pairs: candidates share a 16-bit chunk at the
-    same position (equi-join on the band key), verified by exact
-    Hamming distance = bit_count(sig_a XOR sig_b).
+# Manku-style banding (Manku/Jain/Das Sarma, WWW'07 "Detecting
+# near-duplicates for web crawling"): split the 64-bit fingerprint into
+# 6 blocks (11,11,11,11,10,10 bits); a pair within Hamming distance 3
+# has >= 3 clean blocks, so at least one of the C(6,3)=20 block-triple
+# combinations matches exactly. Band keys are ~32 bits — 65536x more
+# selective than a single 16-bit chunk, which kills the birthday-
+# paradox candidate growth a growing corpus inflicts on narrow keys
+# (measured: candidate exponent ~2.0 with 16-bit chunks, ~1.0 with
+# block triples — scripts/scale_rehearsal.py).
+_MANKU_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_MANKU_RADIUS = 3  # the guarantee: hamming <= 6 - 3 blocks clean
 
-    The band join runs over DISTINCT fingerprints, not docs: a corpus
-    with many identical fingerprints (exact duplicates are common in
-    web data) otherwise turns every hot chunk bucket into an O(n^2)
-    doc-pair blow-up *before* verification. Banding unique sigs caps
-    the join at unique-fingerprint cardinality; doc multiplicity
-    re-attaches after the (tiny) verified sig-pair set — measured on
-    the 10x corpus span this takes the candidate growth exponent from
-    ~2.0 to near-linear (scripts/scale_rehearsal.py).
-    """
-    sig = simhash_signatures(df, id_col, text_col).persist()
-    usig = sig.select("sig", "chunks").distinct()
-    banded = usig.select("sig", F.posexplode("chunks").alias("chunk_idx", "chunk_val"))
+
+def _manku_band_keys(sig_col) -> list:
+    """One ~32-bit band key expression per block-triple combination."""
+    from itertools import combinations
+
+    offs, acc = [], 0
+    for w in _MANKU_BLOCK_BITS:
+        offs.append(acc)
+        acc += w
+    blocks = [
+        F.shiftrightunsigned(sig_col, offs[j]).bitwiseAND(F.lit((1 << w) - 1))
+        for j, w in enumerate(_MANKU_BLOCK_BITS)
+    ]
+    keys = []
+    for band, (i, j, k) in enumerate(combinations(range(len(blocks)), 3)):
+        key = (blocks[i] * F.lit(1 << 22)) + (blocks[j] * F.lit(1 << 11)) + blocks[k]
+        keys.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    return keys
+
+
+def simhash_band_candidates(usig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pre-verification candidate sig pairs from the band join over
+    DISTINCT fingerprints. ``max_hamming <= 3`` uses Manku block-triple
+    banding (recall-guaranteed, ~32-bit keys); larger radii fall back
+    to the four 16-bit chunks (best-effort, as before)."""
+    if max_hamming <= _MANKU_RADIUS:
+        banded = usig.select(
+            "sig", F.explode(F.array(*_manku_band_keys(F.col("sig")))).alias("bk")
+        ).select("sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    else:
+        banded = usig.select(
+            "sig", F.posexplode("chunks").alias("band", "key")
+        )
     a, b = banded.alias("a"), banded.alias("b")
-    spair = (
+    return (
         a.join(
             b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.sig") < F.col("b.sig")),
         )
         .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .dropDuplicates(["sig_a", "sig_b"])
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share a band key (Manku
+    block-triple banding for the standard radius-3 search, 16-bit
+    chunks beyond), verified by exact Hamming distance =
+    bit_count(sig_a XOR sig_b).
+
+    The band join runs over DISTINCT fingerprints, not docs: a corpus
+    with many identical fingerprints (exact duplicates are common in
+    web data) otherwise turns every hot band bucket into an O(n^2)
+    doc-pair blow-up *before* verification. Banding unique sigs caps
+    the join at unique-fingerprint cardinality; doc multiplicity
+    re-attaches after the (tiny) verified sig-pair set.
+    """
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    usig = sig.select("sig", "chunks").distinct()
+    spair = (
+        simhash_band_candidates(usig, max_hamming)
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup  # noqa: E402
+from aws_dla_kinesis_delivery_stream_example_spark.operators import curation, dedup  # noqa: E402
 from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark  # noqa: E402
 from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table  # noqa: E402
 
@@ -65,9 +65,15 @@ def main() -> None:
         )
         row["minhash_candidates"] = cand
 
-        # SimHash: candidates = chunk-collision pairs (max hamming)
+        # SimHash: candidates = PRE-verification band-collision sig
+        # pairs at the production radius (Manku block-triple banding)
+        usig = (
+            dedup.simhash_signatures(docs, "doc_id", "text")
+            .select("sig", "chunks")
+            .distinct()
+        )
         cand, row["simhash_sec"] = timed(
-            lambda: dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=64).count()
+            lambda: dedup.simhash_band_candidates(usig, max_hamming=3).count()
         )
         row["simhash_candidates"] = cand
 
@@ -76,13 +82,36 @@ def main() -> None:
         n_clustered, row["clusters_sec"] = timed(lambda: dedup.duplicate_clusters(pairs).count())
         row["clustered_docs"] = n_clustered
 
+        # contamination: candidate shingle hits against a FIXED-size
+        # benchmark set (a real eval set does not grow with the corpus)
+        # — the broadcast side is constant, so hits must grow ~linearly
+        # with the corpus
+        from pyspark.sql import functions as F
+
+        full = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        bench = full.filter(F.col("doc_id") < 10)
+        cand_docs = full.filter(F.col("doc_id") >= 10)
+        n_hits, row["contam_sec"] = timed(
+            lambda: curation.contaminated_ids(cand_docs, bench, "doc_id", "text", n=4).count()
+        )
+        row["contam_candidates"] = n_hits
+
+        # boilerplate: the df-count aggregation is linear; the hazard is
+        # the boilerplate-set size (broadcast back) — track it
+        n_boiler, row["boiler_sec"] = timed(
+            lambda: curation.boilerplate_ratio(full, "doc_id", "text", n=5, min_df=3)
+            .filter("n_boiler > 0")
+            .count()
+        )
+        row["boiler_candidates"] = n_boiler
+
         results[sf] = row
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
     lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
     growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
-    for op in ("jaccard", "minhash", "simhash"):
+    for op in ("jaccard", "minhash", "simhash", "contam", "boiler"):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)
