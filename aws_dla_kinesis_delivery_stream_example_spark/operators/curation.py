@@ -100,9 +100,12 @@ def boilerplate_ratio(
 
     Returns (id_col, n_shingles, n_boiler, boiler_ratio).
     """
+    # The shingle explosion feeds two consumers (the df count and the
+    # per-doc ratio join) — materialize it once instead of re-running
+    # the tokenize+explode over the corpus (a staging table at scale).
     sh = docs.select(
         F.col(id_col), F.explode(TX.word_shingles(text_col, n)).alias("shingle")
-    )
+    ).persist()
     boiler = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
