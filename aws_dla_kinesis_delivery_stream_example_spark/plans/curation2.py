@@ -1,0 +1,221 @@
+"""Corpus-curation query specs, part 2 (q71+): semantic clustering,
+Gopher-style intra-document repetition signals, and out-of-vocabulary
+rate scoring — the remaining quality/structure passes of a training-
+data pipeline.
+
+Conventions follow catalog.py: identical column aliases both sides,
+total ORDER BY, BIGINT casts on integer aggregates, doubles rounded
+where both engines are on-grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TX
+from ..operators import clustering
+from ..sources.tables import load_table
+from .catalog import query
+
+_K = 8  # k-means clusters (seeds = embeddings of the 8 smallest vec_ids)
+_VOCAB = 16  # OOV vocabulary size (top-16 words by frequency)
+
+
+@query(
+    "q71_kmeans_assign",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   embedding AS cemb
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_K})
+        ),
+        u AS (
+            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ),
+        cu AS (
+            SELECT cluster, i AS pos, CAST(cemb[i] AS DOUBLE) AS cval
+            FROM seeds, UNNEST(generate_series(1, len(cemb))) AS t(i)
+        ),
+        d AS (
+            SELECT u.vec_id, cu.cluster,
+                   round(sum((u.val - cu.cval) * (u.val - cu.cval)), 6) AS d2
+            FROM u JOIN cu USING (pos)
+            GROUP BY u.vec_id, cu.cluster
+        ),
+        a AS (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rk
+            FROM d
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(d2), 3) AS avg_d2,
+               round(max(d2), 3) AS max_d2
+        FROM a WHERE rk = 1
+        GROUP BY cluster ORDER BY cluster
+    """,
+    description="SemDeDup-style Lloyd assignment: every embedding joins "
+    "its nearest of 8 deterministic seed centroids (closure-broadcast "
+    "GEMM, one mapInPandas pass, no shuffle); per-cluster size and "
+    "dispersion profile is the curation pipeline's balance report",
+    tags=("llm", "curation", "clustering"),
+)
+def q71_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, "vec_id", "embedding", k=_K)
+    return clustering.cluster_profile(assigned)
+
+
+@query(
+    "q72_doc_repetition",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS wk
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, len(wk) AS n_words,
+                   len(list_distinct(wk)) AS n_distinct
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id, wk[i] || ' ' || wk[i + 1] AS b
+            FROM w, UNNEST(generate_series(1, len(wk) - 1)) AS t(i)
+        ),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        pd AS (
+            SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bg
+            FROM bc GROUP BY doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(1.0 - CAST(n_distinct AS DOUBLE) / n_words), 4)
+                   AS avg_dup_word_frac,
+               round(avg(CAST(top_cnt AS DOUBLE) / n_bg), 4)
+                   AS avg_top_bigram_frac
+        FROM s JOIN pd USING (doc_id)
+        GROUP BY source ORDER BY source
+    """,
+    description="Gopher-style repetition signals: per-doc duplicate-word "
+    "fraction and most-frequent-bigram share, aggregated per source — "
+    "the degenerate/templated-text filter; all JVM-side (explode + "
+    "zip_with bigrams), scan-speed at 100 TB",
+    tags=("llm", "curation", "text"),
+)
+def q72_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", TX.words("text").alias("wk")).filter(
+        F.size("wk") >= 2
+    )
+    stats = w.select(
+        "doc_id",
+        "source",
+        F.size("wk").alias("n_words"),
+        F.size(F.array_distinct("wk")).alias("n_distinct"),
+    )
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("wk", 1, F.size("wk") - 1),
+                F.slice("wk", 2, F.size("wk") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("b"),
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_bg"))
+    )
+    return (
+        stats.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.lit(1.0)
+                    - F.col("n_distinct").cast("double") / F.col("n_words")
+                ),
+                4,
+            ).alias("avg_dup_word_frac"),
+            F.round(
+                F.avg(F.col("top_cnt").cast("double") / F.col("n_bg")), 4
+            ).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q74_oov_rate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        vocab AS (
+            SELECT w FROM wc
+            QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {_VOCAB}
+        ),
+        pd AS (
+            SELECT doc_id, source, count(*) AS n_tok,
+                   sum(CASE WHEN w IN (SELECT w FROM vocab)
+                            THEN 0 ELSE 1 END) AS n_oov
+            FROM tok GROUP BY doc_id, source
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_oov) AS BIGINT) AS total_oov,
+               round(avg(CAST(n_oov AS DOUBLE) / n_tok), 4) AS avg_oov_frac
+        FROM pd GROUP BY source ORDER BY source
+    """,
+    description="Out-of-vocabulary rate vs a corpus-derived top-16 "
+    "vocabulary (deterministic freq-desc/word-asc ranking): the LM-proxy "
+    "quality score; vocabulary is broadcast back, corpus streams through "
+    "one explode + map-side join",
+    tags=("llm", "curation", "text"),
+)
+def q74_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(TX.words("text")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Global row_number over the WORD-COUNT table (vocabulary-sized, a
+    # tiny fraction of the corpus) — the single-partition sort is on
+    # |vocab| rows, never on corpus rows.
+    vocab = (
+        wc.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .filter(F.col("rk") <= _VOCAB)
+        .select("w")
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_oov").cast("long").alias("total_oov"),
+            F.round(
+                F.avg(F.col("n_oov").cast("double") / F.col("n_tok")), 4
+            ).alias("avg_oov_frac"),
+        )
+        .orderBy("source")
+    )

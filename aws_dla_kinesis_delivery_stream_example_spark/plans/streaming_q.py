@@ -173,3 +173,30 @@ def q51_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q73_streaming_interval_join",
+    oracle="""
+        SELECT c.user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    description="ACTUAL stream-stream interval join on the closed events "
+    "table: clicks joined to the same user's purchases within 30 min "
+    "(watermarks + bounded event-time range => bounded join state), "
+    "counted per user and hash-checked against the batch range-join oracle",
+    tags=("streaming", "join"),
+)
+def q73_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _stream_events_closed(spark, sf_dir, SW.interval_join_counts, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("user_id")
+    )

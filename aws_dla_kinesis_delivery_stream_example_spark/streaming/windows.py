@@ -50,6 +50,42 @@ def session_counts(df: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     )
 
 
+def interval_join_counts(
+    df: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair every ``left_type`` event with
+    the same user's ``right_type`` events in ``[ts, ts + horizon]``,
+    counted per user.
+
+    Streaming shape: two filtered views of ONE source joined on the
+    equi-key plus a bounded event-time range; the watermark + range
+    bound let Spark expire join state (without them, state grows
+    unboundedly). Inner stream-stream joins emit matches as they are
+    found, so an availableNow drain over a closed input produces the
+    complete pair set. The same plan runs in batch (the oracle path).
+    """
+    left = df.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = df.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    if df.isStreaming:
+        left = left.withWatermark("l_ts", watermark)
+        right = right.withWatermark("r_ts", watermark)
+    pairs = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return pairs.select(F.col("l_user").alias("user_id"), "l_ts", "r_ts")
+
+
 def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     if df.isStreaming:
         return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

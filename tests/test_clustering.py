@@ -1,0 +1,126 @@
+"""Operator-level tests for the clustering assignment pass and the
+stream-stream interval join: planted geometry / planted event pairs,
+plus the float-tie and boundary semantics the oracles can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering
+from aws_dla_kinesis_delivery_stream_example_spark.streaming import windows as SW
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assign_planted_clusters(spark):
+    # Seeds are the two smallest ids: id 0 at the origin, id 1 at (10, 10).
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.5, 0.0]),   # near seed 0
+        (3, [9.0, 10.0]),  # near seed 1
+        (4, [0.0, 1.0]),   # near seed 0
+    ]
+    out = clustering.kmeans_assign(_emb(spark, rows), k=2).orderBy("id").collect()
+    assigned = {r["id"]: r["cluster"] for r in out}
+    assert assigned == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    d2 = {r["id"]: r["d2"] for r in out}
+    assert d2[0] == 0.0 and d2[1] == 0.0  # seeds sit on their own centroid
+    assert d2[2] == 0.25 and d2[3] == 1.0
+
+
+def test_kmeans_assign_tie_breaks_to_lower_cluster(spark):
+    # (5, 0) is exactly equidistant from seeds at (0,0) and (10,0):
+    # the rounded-distance tie must resolve to the LOWER cluster index
+    # on both engines (argmin-first == ORDER BY d2, cluster).
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0])]
+    out = clustering.kmeans_assign(_emb(spark, rows), k=2).orderBy("id").collect()
+    assert {r["id"]: r["cluster"] for r in out}[2] == 0
+
+
+def test_kmeans_assign_requires_k_rows(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="need >= 5"):
+        clustering.kmeans_assign(_emb(spark, [(0, [1.0])]), k=5)
+
+
+def test_cluster_profile_shape(spark):
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(10)]
+    prof = clustering.cluster_profile(
+        clustering.kmeans_assign(_emb(spark, rows), k=2)
+    ).collect()
+    assert [r["cluster"] for r in prof] == [0, 1]
+    assert sum(r["n"] for r in prof) == 10
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_interval_join_boundary_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, "click", t0, 1.0),
+        (1, "purchase", at(0), 1.0),    # same instant: included (>=)
+        (1, "purchase", at(30), 1.0),   # exactly at horizon: included (<=)
+        (1, "purchase", at(31), 1.0),   # past horizon: excluded
+        (2, "click", t0, 1.0),
+        (3, "purchase", at(5), 1.0),    # other user: excluded
+        (1, "view", at(5), 1.0),        # other type: excluded
+    ]
+    out = SW.interval_join_counts(_events(spark, rows)).collect()
+    per_user = {}
+    for r in out:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert per_user == {1: 2}
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for u in range(5):
+        for m in range(0, 120, 7):
+            kind = "click" if m % 14 == 0 else "purchase"
+            rows.append((u, kind, t0 + dt.timedelta(minutes=m), 1.0))
+    df = _events(spark, rows)
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+
+    batch = sorted(
+        (r["user_id"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in SW.interval_join_counts(spark.read.parquet(src)).collect()
+    )
+    streamed = SW.run_on_closed_input(
+        spark, src, SW.interval_join_counts, "append", "ij_closed"
+    )
+    got = sorted(
+        (r["user_id"], str(r["l_ts"]), str(r["r_ts"])) for r in streamed.collect()
+    )
+    assert got == batch and len(batch) > 0
+
+
+def test_oov_vocab_rank_determinism(spark):
+    # Equal-frequency words at the vocabulary boundary must rank by
+    # word asc — the tie-break that keeps the vocab identical across
+    # engines and partitionings.
+    from pyspark.sql.window import Window
+
+    wc = spark.createDataFrame(
+        [("zeta", 5), ("alpha", 5), ("mid", 9)], "w string, c int"
+    )
+    ranked = wc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    ).collect()
+    by_word = {r["w"]: r["rk"] for r in ranked}
+    assert by_word == {"mid": 1, "alpha": 2, "zeta": 3}
