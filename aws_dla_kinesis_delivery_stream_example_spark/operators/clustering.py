@@ -43,6 +43,49 @@ def kmeans_seeds(emb: DataFrame, id_col: str, vec_col: str, k: int) -> np.ndarra
     return np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
 
 
+def _batch_assign(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Rounded-grid nearest-centroid: d2 = |x|^2 - 2 x.C^T + |c|^2 (one
+    GEMM), rounded to 6 dp BEFORE argmin (first-min tie-break == the
+    oracle's ORDER BY d2, cluster)."""
+    c_sq = (cents * cents).sum(axis=1)
+    d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c_sq
+    d2 = np.round(np.maximum(d2, 0.0), 6)
+    best = d2.argmin(axis=1)
+    return best, d2[np.arange(len(x)), best]
+
+
+def assign_with_centroids(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_vector: bool = False,
+) -> DataFrame:
+    """Assignment pass against an explicit centroid matrix (closure-
+    shipped). With ``include_vector`` the embedding rides along, so a
+    per-cluster consumer (e.g. SemDeDup pair mining) needs NO corpus
+    self-join to get vectors next to cluster ids."""
+    schema = _ASSIGN_SCHEMA + (f", {vec_col} array<double>" if include_vector else "")
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            best, d2 = _batch_assign(x, cents)
+            out = {
+                "id": pdf[id_col].to_numpy(),
+                "cluster": best.astype("int32"),
+                "d2": d2,
+            }
+            if include_vector:
+                out[vec_col] = list(x)
+            yield pd.DataFrame(out)
+
+    ensure_shipped(emb.sparkSession)
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
 def kmeans_assign(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8
 ) -> DataFrame:
@@ -53,27 +96,115 @@ def kmeans_assign(
     grid on which the nearest-centroid decision is made.
     """
     cents = kmeans_seeds(emb, id_col, vec_col, k)  # k x dim, closure-shipped
-    c_sq = (cents * cents).sum(axis=1)  # |c|^2, precomputed once
+    return assign_with_centroids(emb, cents, id_col, vec_col)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def updated_centroids(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """One Lloyd UPDATE step at scale: per-Arrow-batch partial sums
+    (cluster, sum-vector, count) — k x dim doubles per batch, the
+    map-side combine — then a tiny global agg; the corpus is scanned
+    exactly once and never shuffled. Empty clusters keep their previous
+    centroid. New centroids are rounded to 6 dp JVM-side (HALF_UP on
+    both engines), the grid the next assignment pass runs on."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            # d2 = |x|^2 - 2 x.C^T + |c|^2 : one GEMM per Arrow batch
-            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c_sq
-            d2 = np.round(np.maximum(d2, 0.0), 6)
-            best = d2.argmin(axis=1)  # first min => tie-break on cluster idx
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "cluster": best.astype("int32"),
-                    "d2": d2[np.arange(len(pdf)), best],
-                }
-            )
+            best, _ = _batch_assign(x, cents)
+            rows = []
+            for c in np.unique(best):
+                m = best == c
+                rows.append((int(c), x[m].sum(axis=0).tolist(), int(m.sum())))
+            yield pd.DataFrame(rows, columns=["cluster", "s", "cnt"])
 
     ensure_shipped(emb.sparkSession)
-    return emb.select(id_col, vec_col).mapInPandas(assign, schema=_ASSIGN_SCHEMA)
+    part = emb.select(id_col, vec_col).mapInPandas(
+        partials, schema="cluster int, s array<double>, cnt long"
+    )
+    # partials are tiny (clusters x partitions); cache them so the two
+    # aggregations below cost ONE corpus scan, not two.
+    part = part.persist()
+    try:
+        cnts = part.groupBy("cluster").agg(F.sum("cnt").alias("n"))
+        sums = (
+            part.select("cluster", F.posexplode("s").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("sv"))
+        )
+        rows = (
+            sums.join(cnts, "cluster")
+            .select(
+                "cluster", "pos", F.round(F.col("sv") / F.col("n"), 6).alias("cv")
+            )
+            .collect()
+        )
+    finally:
+        part.unpersist()
+    new = cents.copy()
+    for r in rows:
+        new[r["cluster"], r["pos"]] = r["cv"]
+    return new
+
+
+def semantic_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup: cosine near-dup pairs WITHIN k-means clusters.
+
+    The cluster assignment is the candidate-blocking step — pairs
+    across clusters are never formed, so the quadratic pair space
+    shrinks from O(n^2) to O(n^2/k) and each cluster's upper-triangle
+    GEMM runs bucket-locally in one ``applyInPandas`` group. Vectors
+    ride along with the assignment (``include_vector``), so no corpus
+    self-join is needed to put embeddings next to cluster ids.
+    Cosines are rounded to 6 dp before the threshold compare (the
+    oracle-stable boundary). Returns (cluster, vec_a, vec_b, cos_sim).
+    """
+    cents = kmeans_seeds(emb, id_col, vec_col, k)
+    assigned = assign_with_centroids(emb, cents, id_col, vec_col, include_vector=True)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster": [], "vec_a": [], "vec_b": [], "cos_sim": []}
+        ).astype(
+            {"cluster": "int32", "vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        x = np.vstack(pdf[vec_col].to_numpy())
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        s = np.round((x / norms) @ (x / norms).T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = s[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0], dtype="int32"),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": s[ia[keep], ib[keep]],
+            }
+        )
+
+    ensure_shipped(emb.sparkSession)
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, schema="cluster int, vec_a long, vec_b long, cos_sim double"
+    )
 
 
 def cluster_profile(assigned: DataFrame) -> DataFrame:

@@ -219,3 +219,157 @@ def q74_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Shared CTE prefix for the k-means family: deterministic seeds, the
+# unpacked embedding table, seed centroids per position, first-pass
+# distances and the first-pass assignment (the q71 plan).
+_KMEANS_CTES = f"""
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   embedding AS cemb
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_K})
+        ),
+        u AS (
+            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ),
+        cu AS (
+            SELECT cluster, i AS pos, CAST(cemb[i] AS DOUBLE) AS cval
+            FROM seeds, UNNEST(generate_series(1, len(cemb))) AS t(i)
+        ),
+        d1 AS (
+            SELECT u.vec_id, cu.cluster,
+                   round(sum((u.val - cu.cval) * (u.val - cu.cval)), 6) AS d2
+            FROM u JOIN cu USING (pos)
+            GROUP BY u.vec_id, cu.cluster
+        ),
+        a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rk
+                FROM d1) WHERE rk = 1
+        )
+"""
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    import math
+
+    p = 10.0**digits
+    return math.floor(x * p + 0.5) / p
+
+
+@query(
+    "q75_kmeans_update",
+    oracle=f"""
+        WITH {_KMEANS_CTES},
+        c2 AS (
+            SELECT a1.cluster, u.pos, round(avg(u.val), 6) AS cv2
+            FROM a1 JOIN u USING (vec_id) GROUP BY a1.cluster, u.pos
+        ),
+        cu2 AS (
+            SELECT cu.cluster, cu.pos, coalesce(c2.cv2, cu.cval) AS cval
+            FROM cu LEFT JOIN c2 ON c2.cluster = cu.cluster AND c2.pos = cu.pos
+        ),
+        dd AS (
+            SELECT u.vec_id, cu2.cluster,
+                   round(sum((u.val - cu2.cval) * (u.val - cu2.cval)), 6) AS d2
+            FROM u JOIN cu2 USING (pos)
+            GROUP BY u.vec_id, cu2.cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster, d2 FROM (
+                SELECT vec_id, cluster, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rk
+                FROM dd) WHERE rk = 1
+        ),
+        drift AS (
+            SELECT cu.cluster,
+                   round(sqrt(sum((cu2.cval - cu.cval) * (cu2.cval - cu.cval))), 4)
+                       AS drift
+            FROM cu JOIN cu2 ON cu2.cluster = cu.cluster AND cu2.pos = cu.pos
+            GROUP BY cu.cluster
+        )
+        SELECT a2.cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(a2.d2), 3) AS avg_d2,
+               max(drift.drift) AS drift
+        FROM a2 JOIN drift ON drift.cluster = a2.cluster
+        GROUP BY a2.cluster ORDER BY a2.cluster
+    """,
+    description="Full Lloyd iteration: assignment + centroid UPDATE via "
+    "per-batch partial sums (map-side combine, one corpus scan, no "
+    "shuffle of vectors), re-broadcast updated centroids, second "
+    "assignment; reports per-cluster size, inertia, and centroid drift "
+    "— the iterative-ML pattern at 100 TB",
+    tags=("llm", "curation", "clustering"),
+)
+def q75_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = clustering.kmeans_seeds(emb, "vec_id", "embedding", _K)
+    newc = clustering.updated_centroids(emb, seeds)
+    assigned2 = clustering.assign_with_centroids(emb, newc)
+    prof = clustering.cluster_profile(assigned2).drop("max_d2")
+    drift_rows = [
+        (c, _round_half_up(float(np.sqrt(((newc[c] - seeds[c]) ** 2).sum())), 4))
+        for c in range(_K)
+    ]
+    ddf = spark.createDataFrame(drift_rows, "cluster int, drift double")
+    return (
+        prof.join(F.broadcast(ddf), "cluster")
+        .select("cluster", "n", "avg_d2", "drift")
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q76_semantic_dedup",
+    oracle=f"""
+        WITH {_KMEANS_CTES},
+        nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS n FROM u GROUP BY vec_id),
+        un AS (
+            SELECT u.vec_id, u.pos, u.val / nrm.n AS uval
+            FROM u JOIN nrm USING (vec_id)
+        ),
+        p AS (
+            SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb
+            FROM a1 a JOIN a1 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ),
+        c AS (
+            SELECT p.cluster, p.va, p.vb,
+                   round(sum(x.uval * y.uval), 6) AS cos_sim
+            FROM p
+            JOIN un x ON x.vec_id = p.va
+            JOIN un y ON y.vec_id = p.vb AND y.pos = x.pos
+            GROUP BY p.cluster, p.va, p.vb
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(cos_sim), 4) AS avg_cos
+        FROM c WHERE cos_sim >= 0.4
+        GROUP BY cluster ORDER BY cluster
+    """,
+    description="SemDeDup: cosine near-dup pairs mined WITHIN k-means "
+    "clusters (assignment = candidate blocking, O(n^2/k) pair space, "
+    "bucket-local upper-triangle GEMM; vectors ride with the assignment "
+    "so no corpus self-join), per-cluster pair counts",
+    tags=("llm", "curation", "dedup", "clustering"),
+)
+def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = clustering.semantic_near_duplicates(emb, k=_K, threshold=0.4)
+    return (
+        pairs.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+        )
+        .orderBy("cluster")
+    )

@@ -124,3 +124,52 @@ def test_oov_vocab_rank_determinism(spark):
     ).collect()
     by_word = {r["w"]: r["rk"] for r in ranked}
     assert by_word == {"mid": 1, "alpha": 2, "zeta": 3}
+
+
+def test_updated_centroids_moves_to_cluster_mean(spark):
+    import numpy as np
+
+    # Seed 0 at origin, seed 1 at (10,0); extra points pull cluster 0's
+    # centroid to the mean of {(0,0),(2,0),(4,0)} = (2,0).
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [2.0, 0.0]), (3, [4.0, 0.0])]
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering as CL
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = CL.kmeans_seeds(emb, "vec_id", "embedding", 2)
+    new = CL.updated_centroids(emb, seeds)
+    assert np.allclose(new[0], [2.0, 0.0])
+    assert np.allclose(new[1], [10.0, 0.0])
+
+
+def test_updated_centroids_empty_cluster_keeps_seed(spark):
+    import numpy as np
+
+    # Every point is nearer seed 0 than seed 1 except seed 1 itself;
+    # make seed 1's lone member move away is impossible — instead plant
+    # a cluster that attracts nothing beyond its seed and check the
+    # OTHER cluster when emptied: here cluster 1 keeps exactly its seed.
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 0.0]), (2, [1.0, 0.0])]
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering as CL
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = CL.kmeans_seeds(emb, "vec_id", "embedding", 2)
+    new = CL.updated_centroids(emb, seeds)
+    assert np.allclose(new[1], [100.0, 0.0])  # its only member is the seed
+
+
+def test_semantic_near_duplicates_planted_pair(spark):
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering as CL
+
+    # ids 0/1 seed two well-separated clusters; 2 is a near-copy of 0
+    # (cos ~ 1), 3 lands in cluster 0 but is near-orthogonal to both
+    # members, so exactly one pair survives the threshold.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 9.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.0, 8.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = CL.semantic_near_duplicates(emb, k=2, threshold=0.95).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(0, 2)]
+    assert out[0]["cos_sim"] > 0.99
