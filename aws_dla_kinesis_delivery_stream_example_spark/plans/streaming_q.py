@@ -30,7 +30,16 @@ def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str
     fully-materialized memory-sink table."""
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     name = f"sq_{uuid.uuid4().hex[:10]}"
+    # Stateful operators allocate one state-store instance PER shuffle
+    # partition per stateful stage; on a closed local input that fixed
+    # per-instance cost dominates (measured 6.9 s -> 2.3 s for the
+    # stream-stream join at 32 -> 8 partitions, sf0.1). Scope a small
+    # partition count to this drain and restore the session value — on
+    # a real cluster the checkpoint fixes state partitioning per query,
+    # sized to the stream's key cardinality, not to this local default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src = os.path.join(sf_dir, "events.parquet")
         schema = spark.read.parquet(src).schema
@@ -50,6 +59,7 @@ def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
