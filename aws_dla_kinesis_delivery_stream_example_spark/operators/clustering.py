@@ -159,6 +159,7 @@ def semantic_near_duplicates(
     vec_col: str = "embedding",
     k: int = 8,
     threshold: float = 0.4,
+    sub_blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cosine near-dup pairs WITHIN k-means clusters.
 
@@ -170,9 +171,46 @@ def semantic_near_duplicates(
     self-join is needed to put embeddings next to cluster ids.
     Cosines are rounded to 6 dp before the threshold compare (the
     oracle-stable boundary). Returns (cluster, vec_a, vec_b, cos_sim).
+
+    ``sub_blocks`` is the hot-cluster valve (the q55 ``max_df``
+    analogue): when set, each cluster is salted into that many
+    sub-blocks keyed by a digest of the 1-dp-ROUNDED vector, and pairs
+    form only within a sub-block — pair space drops another
+    ``sub_blocks``-fold. Exact duplicates and near-identical vectors
+    (equal after rounding) share a digest, so true-dup recall survives
+    the split; pairs that are merely similar may land in different
+    sub-blocks — the documented recall trade of the valve.
     """
     cents = kmeans_seeds(emb, id_col, vec_col, k)
     assigned = assign_with_centroids(emb, cents, id_col, vec_col, include_vector=True)
+    group_keys = ["cluster"]
+    if sub_blocks is not None:
+        import hashlib
+
+        nb = int(sub_blocks)
+
+        def salt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                g = [
+                    int.from_bytes(
+                        hashlib.md5(np.round(np.asarray(v), 1).tobytes()).digest()[:4],
+                        "big",
+                    )
+                    % nb
+                    for v in pdf[vec_col]
+                ]
+                pdf = pdf.assign(salt=np.array(g, dtype="int32"))
+                yield pdf
+
+        from pyspark.sql import types as T
+
+        salted_schema = T.StructType(
+            assigned.schema.fields + [T.StructField("salt", T.IntegerType())]
+        )
+        assigned = assigned.mapInPandas(salt, schema=salted_schema)
+        group_keys.append("salt")
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -202,7 +240,7 @@ def semantic_near_duplicates(
         )
 
     ensure_shipped(emb.sparkSession)
-    return assigned.groupBy("cluster").applyInPandas(
+    return assigned.groupBy(*group_keys).applyInPandas(
         pairs, schema="cluster int, vec_a long, vec_b long, cos_sim double"
     )
 

@@ -105,13 +105,27 @@ def main() -> None:
         )
         row["boiler_candidates"] = n_boiler
 
+        # semantic dedup: candidate pairs are bounded by sum over
+        # clusters of n_c^2/2 ~ n^2/k — the blocking must keep the
+        # within-cluster pair count near n^2/k, NOT n^2 (growth
+        # exponent ~2 of cluster-local candidates is expected and fine;
+        # the win is the constant 1/k and bucket-locality: no shuffle
+        # of the pair space, only of assignments)
+        from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_pairs, row["semdedup_sec"] = timed(
+            lambda: clustering.semantic_near_duplicates(emb, threshold=0.0).count()
+        )
+        row["semdedup_candidates"] = n_pairs
+
         results[sf] = row
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
     lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
     growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
-    for op in ("jaccard", "minhash", "simhash", "contam", "boiler"):
+    for op in ("jaccard", "minhash", "simhash", "contam", "boiler", "semdedup"):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)

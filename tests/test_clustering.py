@@ -173,3 +173,29 @@ def test_semantic_near_duplicates_planted_pair(spark):
     out = CL.semantic_near_duplicates(emb, k=2, threshold=0.95).collect()
     assert [(r["vec_a"], r["vec_b"]) for r in out] == [(0, 2)]
     assert out[0]["cos_sim"] > 0.99
+
+
+def test_semantic_near_duplicates_sub_block_valve(spark):
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering as CL
+
+    # One hot cluster: everything lands near seed 0 (seed 1 is remote).
+    # Planted exact duplicate (ids 10/11) must survive sub-blocking —
+    # identical vectors share the rounded-vector digest — while the
+    # candidate pair count drops below the full within-cluster count.
+    rng_rows = [(i, [float((i * 7) % 5) / 10.0, float((i * 3) % 5) / 10.0]) for i in range(2, 10)]
+    rows = (
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])]
+        + rng_rows
+        + [(10, [0.31, 0.17]), (11, [0.31, 0.17])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = CL.semantic_near_duplicates(emb, k=2, threshold=-1.1)
+    valved = CL.semantic_near_duplicates(emb, k=2, threshold=-1.1, sub_blocks=4)
+    n_full, n_valved = full.count(), valved.count()
+    assert n_valved < n_full  # pair space actually shrank
+
+    dup = valved.filter("vec_a = 10 AND vec_b = 11").collect()
+    assert len(dup) == 1 and np.isclose(dup[0]["cos_sim"], 1.0)
