@@ -160,6 +160,7 @@ def semantic_near_duplicates(
     k: int = 8,
     threshold: float = 0.4,
     sub_blocks: int | None = None,
+    max_cluster_rows: int | None = 50_000,
 ) -> DataFrame:
     """SemDeDup: cosine near-dup pairs WITHIN k-means clusters.
 
@@ -180,6 +181,15 @@ def semantic_near_duplicates(
     (equal after rounding) share a digest, so true-dup recall survives
     the split; pairs that are merely similar may land in different
     sub-blocks — the documented recall trade of the valve.
+
+    ``max_cluster_rows`` is the per-group GEMM memory budget: the
+    within-group cosine matrix is O(n^2) doubles, so a single hot
+    cluster (or hot sub-block) bigger than the budget would OOM one
+    executor while the rest of the stage idles. Rather than die
+    opaquely mid-GEMM, the group task fails fast with sizing guidance
+    (raise the budget, raise ``k``, or set/raise ``sub_blocks``).
+    50k rows ~= 20 GB of pairwise doubles — the sensible ceiling for
+    a 64 GB executor; pass ``None`` to disable.
     """
     cents = kmeans_seeds(emb, id_col, vec_col, k)
     assigned = assign_with_centroids(emb, cents, id_col, vec_col, include_vector=True)
@@ -220,6 +230,16 @@ def semantic_near_duplicates(
         )
         if len(pdf) < 2:
             return empty
+        if max_cluster_rows is not None and len(pdf) > max_cluster_rows:
+            c = int(pdf["cluster"].iloc[0])
+            raise ValueError(
+                f"semantic_near_duplicates: cluster {c} has {len(pdf)} rows, "
+                f"over the max_cluster_rows={max_cluster_rows} GEMM budget "
+                f"(~{len(pdf) ** 2 * 8 / 1e9:.1f} GB of pairwise doubles). "
+                f"Raise k to split the cluster, set/raise sub_blocks to salt "
+                f"it, or raise max_cluster_rows if the executors have the "
+                f"memory."
+            )
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         x = np.vstack(pdf[vec_col].to_numpy())

@@ -15,8 +15,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from ..sources.tables import normalize_event_time
 from ..streaming import windows as SW
 from .catalog import query
 
@@ -24,9 +24,10 @@ from .catalog import query
 def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
     """Stream the CANONICAL events parquet directly (no per-invocation
     re-materialization — at scale that temp rewrite is a full extra
-    write+read of the table). events.ts is TIMESTAMP(NANOS), so the
-    stream reads it as long nanos (nanosAsLong) and converts ns->µs
-    inline, identically to sources.tables.load_table. Returns the
+    write+read of the table). events.ts has shipped as TIMESTAMP(NANOS)
+    and as naive timestamp[us] across testdata generations; the stream
+    normalizes either to TimestampType inline, identically to
+    sources.tables.load_table (normalize_event_time). Returns the
     fully-materialized memory-sink table."""
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     name = f"sq_{uuid.uuid4().hex[:10]}"
@@ -46,8 +47,7 @@ def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str
         # The streaming file source wants a directory or a glob; the
         # canonical table is a single file, so glob it (zero-copy).
         stream = spark.readStream.schema(schema).parquet(src + "*")
-        if isinstance(schema["ts"].dataType, T.LongType):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = normalize_event_time(stream, "ts")
         q = (
             op(stream)
             .writeStream.outputMode(output_mode)

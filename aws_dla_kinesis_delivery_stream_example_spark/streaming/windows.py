@@ -16,7 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Defense-in-depth at every watermark site: watermarks require
+    TimestampType (LTZ); normalize long-nanos / TIMESTAMP_NTZ encodings
+    the same way sources.tables.load_table does, so these operators are
+    safe even on a DataFrame that bypassed load_table."""
+    from ..sources.tables import normalize_event_time
+
+    return normalize_event_time(df, col)
+
+
 def tumbling_counts(df: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if df.isStreaming else df
     return (
         src.groupBy(F.window("ts", size).alias("w"), "event_type")
@@ -33,6 +44,7 @@ def tumbling_counts(df: DataFrame, size: str = "1 hour", watermark: str = "2 hou
 def sliding_counts(
     df: DataFrame, size: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if df.isStreaming else df
     return (
         src.groupBy(F.window("ts", size, slide).alias("w"))
@@ -42,6 +54,7 @@ def sliding_counts(
 
 
 def session_counts(df: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if df.isStreaming else df
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -68,6 +81,7 @@ def interval_join_counts(
     found, so an availableNow drain over a closed input produces the
     complete pair set. The same plan runs in batch (the oracle path).
     """
+    df = _event_time(df)
     left = df.filter(F.col("event_type") == left_type).select(
         F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
     )
@@ -87,6 +101,7 @@ def interval_join_counts(
 
 
 def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    df = _event_time(df)
     if df.isStreaming:
         return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)

@@ -49,23 +49,31 @@ def bench_queries(spark) -> dict[str, float]:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must not zero the
+    # whole round's perf evidence (round 3 lost ALL numbers to a single
+    # analysis error). Record {"err": ...} for the failure, keep going,
+    # and ALWAYS emit the final JSON line.
+    timings: dict[str, object] = {}
     for name, spec in sorted(all_specs().items()):
         if name in SKIP:
             continue
         best = None
-        for _ in range(max(1, REPEATS)):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, SF_DIR)
-            df.collect()
-            took = time.perf_counter() - t0
-            best = took if best is None else min(best, took)
-            # Operator-internal persists (staging tables) are per-query
-            # scratch: release them, and force a collection so one run's
-            # garbage doesn't tax the next one's measurement.
+        try:
+            for _ in range(max(1, REPEATS)):
+                t0 = time.perf_counter()
+                df = spec.spark(spark, SF_DIR)
+                df.collect()
+                took = time.perf_counter() - t0
+                best = took if best is None else min(best, took)
+                # Operator-internal persists (staging tables) are per-query
+                # scratch: release them, and force a collection so one run's
+                # garbage doesn't tax the next one's measurement.
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
             spark.catalog.clearCache()
-            spark._jvm.System.gc()
-        timings[name] = round(best, 3)
     return timings
 
 
@@ -102,10 +110,15 @@ def main() -> None:
     t_all0 = time.perf_counter()
     timings = bench_queries(spark)
     wall = round(time.perf_counter() - t_all0, 3)
-    total = round(sum(timings.values()), 3)
+    ok = {k: v for k, v in timings.items() if isinstance(v, (int, float))}
+    errs = sorted(k for k in timings if k not in ok)
+    total = round(sum(ok.values()), 3)
     # Same estimator as the queries: best of REPEATS (first run pays
     # streaming-query codegen/startup; observed 22k cold vs 80k warm).
-    tps = max(bench_delivery(spark) for _ in range(max(1, REPEATS)))
+    try:
+        tps = max(bench_delivery(spark) for _ in range(max(1, REPEATS)))
+    except Exception as exc:  # noqa: BLE001
+        tps = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     print(
         json.dumps(
             {
@@ -118,6 +131,8 @@ def main() -> None:
                 "repeats": REPEATS,
                 "agg": "min",
                 "sweep_wall_sec": wall,
+                "n_queries_ok": len(ok),
+                "query_errors": errs,
             }
         )
     )

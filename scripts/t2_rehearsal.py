@@ -89,6 +89,23 @@ def main() -> None:
         )
         report[name] = entry
 
+    # Provenance (VERDICT r03 #5): local evidence silently went stale
+    # when the driver regenerated events.parquet mid-round. Stamp the
+    # artifact with the data it actually ran against so staleness is
+    # detectable: events schema + mtime + run time.
+    import pyarrow.parquet as _pq
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    report["_meta"] = {
+        "sf_dir": sf_dir,
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "events_mtime": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(ev_path))
+        ),
+        "events_schema": {
+            f.name: str(f.type) for f in _pq.read_schema(ev_path)
+        },
+    }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(

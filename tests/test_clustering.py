@@ -199,3 +199,38 @@ def test_semantic_near_duplicates_sub_block_valve(spark):
 
     dup = valved.filter("vec_a = 10 AND vec_b = 11").collect()
     assert len(dup) == 1 and np.isclose(dup[0]["cos_sim"], 1.0)
+
+
+def test_semantic_near_duplicates_gemm_budget_guard(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering as CL
+
+    # Planted hot cluster: 30 vectors near the first seeds, 1 remote.
+    # x values are distinct at 1 dp, so the rounded-vector digest
+    # actually spreads them across sub-blocks.
+    rows = [(i, [float(i % 7) / 10.0, 0.0]) for i in range(30)] + [(99, [50.0, 50.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # Budget smaller than the hot cluster -> the group task must fail
+    # fast with sizing guidance, not OOM mid-GEMM.
+    with pytest.raises((PythonException, Py4JJavaError), match="max_cluster_rows"):
+        CL.semantic_near_duplicates(
+            emb, k=2, threshold=0.9, max_cluster_rows=10
+        ).collect()
+
+    # Salting the hot cluster under the same budget makes it pass.
+    ok = CL.semantic_near_duplicates(
+        emb, k=2, threshold=0.9, max_cluster_rows=10, sub_blocks=64
+    )
+    assert ok.count() >= 0  # executes without raising
+
+    # Disabled guard also passes (the 31-row GEMM itself is tiny).
+    assert (
+        CL.semantic_near_duplicates(
+            emb, k=2, threshold=0.9, max_cluster_rows=None
+        ).count()
+        >= 0
+    )

@@ -145,3 +145,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed with n=1: the late 09:00 event never surfaced
     assert ("10:00", 1) in rows
     assert not any(h == "09:00" for h, _ in rows)
+
+def test_interval_join_stream_equals_batch(spark, events_parquet):
+    """q73's operator: inner stream-stream interval joins emit matches
+    as found, so an availableNow drain over a closed input equals the
+    batch range join (the oracle path)."""
+    streamed = SW.run_on_closed_input(
+        spark, events_parquet, SW.interval_join_counts, query_name="t_ijoin"
+    )
+    batch = SW.interval_join_counts(_batch(spark, events_parquet))
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_interval_join_boundaries(spark, tmp_path):
+    """Both range endpoints are INCLUSIVE ([l_ts, l_ts + horizon]), the
+    join key is per-user, and a purchase strictly before the click never
+    pairs — checked to the microsecond, in batch AND streaming."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:00:00", 1, "purchase"),  # == l_ts -> in
+        (3, "2024-01-01 10:30:00", 1, "purchase"),  # == l_ts + 30 min -> in
+        (4, "2024-01-01 10:30:00.000001", 1, "purchase"),  # 1 us over -> out
+        (5, "2024-01-01 10:10:00", 2, "purchase"),  # other user -> out
+        (6, "2024-01-01 09:59:59.999999", 1, "purchase"),  # before click -> out
+    ]
+    src = str(tmp_path / "ijoin_src")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) ts", "user_id", "event_type")
+    df.coalesce(1).write.parquet(src)
+
+    expected = {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+    }
+
+    def fmt(out):
+        return {
+            (r["user_id"], r["l_ts"].strftime("%Y-%m-%d %H:%M:%S"), r["r_ts"].strftime("%Y-%m-%d %H:%M:%S"))
+            for r in out.collect()
+        }
+
+    batch = SW.interval_join_counts(spark.read.parquet(src))
+    assert fmt(batch) == expected
+    streamed = SW.run_on_closed_input(
+        spark, src, SW.interval_join_counts, query_name="t_ijoin_bounds"
+    )
+    assert fmt(streamed) == expected
