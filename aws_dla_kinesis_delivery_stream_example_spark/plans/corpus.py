@@ -1,0 +1,217 @@
+"""Round-4 coverage batch: corpus/vocabulary accounting and product-
+analytics shapes a training-data pipeline runs next to dedup/curation —
+vocabulary building, deterministic sampling, cohort retention, and a
+sessionized conversion funnel.
+
+100 TB notes per query are in the docstrings; all four are pure
+DataFrame plans (no Python in the hot path) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as TX
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "q77_vocabulary_topk",
+    oracle="""
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 100
+    """,
+    description="Vocabulary building: top-100 corpus tokens by frequency "
+    "(explode -> partial-agg count -> TakeOrdered). The frequency table "
+    "behind tokenizer training and stopword induction",
+    tags=("llm", "text", "topk"),
+)
+def q77_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: explode is narrow; the count groupBy map-side
+    combines per token BEFORE the shuffle, so shuffle volume is the
+    distinct-vocab size per partition, not token occurrences (Zipf
+    makes that ~10^5-10^6 rows however big the corpus); the final
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject, never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "q78_deterministic_sample",
+    oracle="""
+        SELECT source, doc_id, rk
+        FROM (
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rk
+            FROM documents
+        )
+        WHERE rk <= 20
+        ORDER BY source, rk
+    """,
+    description="Deterministic per-source k-sample: rank by md5(doc_id) "
+    "(a stable pseudo-random order reproducible across engines and "
+    "runs) and keep the first 20 per source — the eval-set carve-out "
+    "pattern where resampling on rerun would contaminate train/test",
+    tags=("llm", "sampling", "window"),
+)
+def q78_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on ``source``; the rank-filter prunes
+    to k rows per group immediately after the per-group sort. md5 of
+    the key (not rand()) makes the sample a pure function of the data
+    — re-runnable, auditable, and identical on any cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "q79_retention_cohorts",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        coh AS (
+            SELECT user_id, min(d) AS c FROM ud GROUP BY user_id
+        )
+        SELECT strftime(coh.c, '%Y-%m-%d') AS cohort_day,
+               CAST(datediff('day', coh.c, ud.d) AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        FROM ud JOIN coh ON ud.user_id = coh.user_id
+        GROUP BY coh.c, datediff('day', coh.c, ud.d)
+        ORDER BY cohort_day, day_offset
+    """,
+    description="Cohort retention matrix: users bucketed by first-seen "
+    "day, distinct-user counts per (cohort, day offset) — the standard "
+    "engagement rollup over the events stream",
+    tags=("events", "aggregate", "cohort"),
+)
+def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: distinct (user, day) first (map-side partial dedup
+    before the shuffle), then the cohort min as a WINDOW over user_id —
+    one exchange replaces the groupBy+self-join alternative (which
+    costs two) and never materializes a separate cohort table; the
+    final distinct-count shuffles the already-deduped pairs on the
+    small (cohort, offset) key space."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        ud.withColumn("c", F.min("d").over(W.partitionBy("user_id")))
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "c").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "q80_session_funnel",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_type, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   min(epoch_us(ts)) FILTER (event_type = 'click') AS first_click,
+                   max(epoch_us(ts)) FILTER (event_type = 'purchase') AS last_purchase
+            FROM sessions
+            GROUP BY user_id, session_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(*) FILTER (first_click IS NOT NULL) AS BIGINT) AS n_click_sessions,
+               CAST(count(*) FILTER (
+                   first_click IS NOT NULL AND last_purchase IS NOT NULL
+                   AND last_purchase >= first_click
+               ) AS BIGINT) AS n_converted,
+               round(
+                   CAST(count(*) FILTER (
+                       first_click IS NOT NULL AND last_purchase IS NOT NULL
+                       AND last_purchase >= first_click
+                   ) AS DOUBLE)
+                   / nullif(count(*) FILTER (first_click IS NOT NULL), 0),
+                   4
+               ) AS conv_rate
+        FROM per_session
+    """,
+    description="Sessionized conversion funnel: 30-min-gap sessions "
+    "(q22's gaps-and-islands convention, microsecond-exact), a session "
+    "converts when a purchase lands at-or-after its first click; "
+    "global session/click/conversion counts + rate",
+    tags=("events", "session", "funnel"),
+)
+def q80_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on ``user_id`` serves BOTH window
+    passes and the per-session agg (same partitioning); the final
+    global rollup is a single-row reduce. Comparisons are in integer
+    microseconds (``unix_micros``), the grid both engines share."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase"),
+    )
+    converted = F.col("first_click").isNotNull() & (
+        F.col("last_purchase") >= F.col("first_click")
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("n_click_sessions"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(converted, 1)).cast("double")
+            / F.nullif(F.count(F.when(F.col("first_click").isNotNull(), 1)), F.lit(0)),
+            4,
+        ).alias("conv_rate"),
+    )
