@@ -1,0 +1,113 @@
+"""Sparse TF-IDF cosine similarity (SURVEY.md §2.11 'Near-dup text
+dedup' — the sparse-vector complement to the dense embedding path in
+``operators/similarity.py``).
+
+The classic inverted-index shape: explode docs to (doc, token, tf)
+postings, weight by smoothed idf, and compute pairwise dots with a
+self-join ON TOKEN — so only pairs that share a term are ever formed
+(the sparse analog of cluster/band blocking; never all-pairs).
+
+100 TB notes
+------------
+- The one quadratic hazard is hot tokens: a stopword shared by every
+  doc fans out O(df^2) pairs. ``max_df`` is the valve (same contract
+  as shingle_jaccard_pairs): drop postings whose document frequency
+  exceeds it BEFORE the join. For TF-IDF this is principled, not just
+  safe — high-df terms carry near-zero idf weight, so the cosine over
+  the capped vocabulary is the cosine that matters.
+- Weights are rounded to 6 dp on a shared grid (both engines compute
+  ``round(tf * ln((N+1)/(df+1)), 6)``), keeping the DuckDB oracle
+  hash-exact despite platform ``ln`` ulp differences.
+- Postings are materialized once (persist) and feed four consumers
+  (df filter already applied, both join sides, norms) — one staging
+  table, one corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def tfidf_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(doc, tok, w) postings with smoothed-idf weights on the 6-dp
+    grid. The hot-token cap is ``greatest(max_df, n_docs *
+    max_df_frac)`` — an absolute floor plus a corpus-relative term, so
+    the same query is meaningful at any scale factor (a fixed absolute
+    cap silently empties the vocabulary once df grows with the
+    corpus). At true 100 TB scale set ``max_df_frac=None`` and cap
+    absolutely: the join hazard is O(df^2) pairs per token, and a
+    *relative* cap lets that grow quadratically with the corpus."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(TX.words(text_col)).alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_df is not None or max_df_frac is not None:
+        caps = []
+        if max_df is not None:
+            caps.append(F.lit(float(max_df)))
+        if max_df_frac is not None:
+            caps.append(F.col("n_docs") * float(max_df_frac))
+        cap = caps[0] if len(caps) == 1 else F.greatest(*caps)
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df").cast("double") <= cap)
+            .select("tok", "df")
+        )
+    return (
+        toks.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df").cast("double") + 1)),
+                6,
+            ).alias("w"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """All doc pairs sharing >= 1 (surviving) term, with TF-IDF cosine
+    >= ``threshold``. Returns (doc_a, doc_b, cos_sim) with doc_a <
+    doc_b, cosine rounded to 4 dp (threshold applied on the 6-dp
+    grid)."""
+    w = tfidf_postings(
+        docs, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac
+    ).persist()
+    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.round(cos, 6) >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cos_sim"))
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import text as TX
+from ..operators.tfidf import tfidf_cosine_pairs
 from ..sources.tables import load_table
 from .catalog import query
 
@@ -214,4 +215,72 @@ def q80_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count(F.when(F.col("first_click").isNotNull(), 1)), F.lit(0)),
             4,
         ).alias("conv_rate"),
+    )
+
+
+_TFIDF_MAX_DF = 50
+_TFIDF_MAX_DF_FRAC = 0.1
+_TFIDF_THRESHOLD = 0.3
+
+
+@query(
+    "q81_tfidf_cosine_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents
+            )
+            GROUP BY doc_id, tok
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        dfreq AS (
+            SELECT tok, count(*) AS df FROM toks GROUP BY tok
+            HAVING count(*) <= greatest(
+                {_TFIDF_MAX_DF},
+                (SELECT count(*) FROM documents) * {_TFIDF_MAX_DF_FRAC}
+            )
+        ),
+        w AS (
+            SELECT t.doc_id, t.tok,
+                   round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 6) AS w
+            FROM toks t JOIN dfreq d ON d.tok = t.tok, n
+        ),
+        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+            FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    description="Sparse TF-IDF cosine near-dup pairs via inverted-index "
+    "self-join on token (pairs form only where a term is shared; hot "
+    f"tokens over greatest({_TFIDF_MAX_DF}, {_TFIDF_MAX_DF_FRAC} * "
+    "n_docs) are pruned before the join — principled for TF-IDF since "
+    "high-df terms carry ~zero idf weight)",
+    tags=("llm", "dedup", "similarity"),
+)
+def q81_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: postings staged once; the pair join is ON TOKEN so
+    fan-out is bounded by max_df^2 per term; norms/dots are partial-agg
+    shuffles on doc keys. The sparse complement of q76's dense
+    cluster-blocked GEMM."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(
+            docs, "doc_id", "text",
+            threshold=_TFIDF_THRESHOLD,
+            max_df=_TFIDF_MAX_DF,
+            max_df_frac=_TFIDF_MAX_DF_FRAC,
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -119,13 +119,26 @@ def main() -> None:
         )
         row["semdedup_candidates"] = n_pairs
 
+        # sparse TF-IDF: candidates = pairs sharing >=1 surviving token
+        # (threshold disabled). The greatest(floor, frac*n) valve keeps
+        # per-token fan-out bounded relative to the corpus; candidate
+        # growth should track the near-dup population, not n^2.
+        from aws_dla_kinesis_delivery_stream_example_spark.operators import tfidf as TF
+
+        n_tf, row["tfidf_sec"] = timed(
+            lambda: TF.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=-1.0, max_df=50, max_df_frac=0.1
+            ).count()
+        )
+        row["tfidf_candidates"] = n_tf
+
         results[sf] = row
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
     lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
     growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
-    for op in ("jaccard", "minhash", "simhash", "contam", "boiler", "semdedup"):
+    for op in ("jaccard", "minhash", "simhash", "contam", "boiler", "semdedup", "tfidf"):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)

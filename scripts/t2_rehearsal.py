@@ -80,6 +80,10 @@ def main() -> None:
         except Exception:
             entry["err"] = traceback.format_exc(limit=3)
             n_fail += 1
+        finally:
+            # operator-internal persists (staging tables) are per-query
+            # scratch; don't let 80 queries' worth accumulate
+            spark.catalog.clearCache()
         status = "FAIL" if entry["err"] and entry["err"] != "no_oracle" else (
             "rows-only" if entry["err"] == "no_oracle" else "ok")
         print(

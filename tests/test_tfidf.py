@@ -1,0 +1,70 @@
+"""Planted-signal tests for the sparse TF-IDF cosine operator (q81)."""
+
+from __future__ import annotations
+
+from aws_dla_kinesis_delivery_stream_example_spark.operators.tfidf import (
+    tfidf_cosine_pairs,
+    tfidf_postings,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_score_one(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words about spark engines"),
+        ],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in
+           tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 1.0) < 1e-6
+
+
+def test_hot_token_cap_prunes_stopword_only_overlap(spark):
+    # docs 1-4 share ONLY the hot token "the" (df=4); docs 1/2 also
+    # share rare content. With the cap at df<=2 the hot token is
+    # pruned: 1-2 still pair on their rare terms, but no pair exists
+    # merely through "the".
+    docs = _docs(
+        spark,
+        [
+            (1, "the zebra quagga unique"),
+            (2, "the zebra quagga unique"),
+            (3, "the completely other material"),
+            (4, "the unrelated further content"),
+        ],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=0.01, max_df=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_relative_cap_floor(spark):
+    # max_df_frac over a tiny corpus must not go below the absolute
+    # floor: with floor 50 nothing is pruned at n_docs=3.
+    docs = _docs(
+        spark,
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "alpha delta")],
+    )
+    toks = tfidf_postings(
+        docs, "doc_id", "text", max_df=50, max_df_frac=0.1
+    )
+    assert toks.filter("tok = 'alpha'").count() == 3  # df=3 <= 50 floor
+
+
+def test_weights_are_on_6dp_grid(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "b c")])
+    ws = [r["w"] for r in tfidf_postings(docs, "doc_id", "text").collect()]
+    assert all(abs(w - round(w, 6)) < 1e-12 for w in ws)
