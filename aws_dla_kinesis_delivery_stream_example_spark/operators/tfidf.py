@@ -111,3 +111,68 @@ def tfidf_cosine_pairs(
         .filter(F.round(cos, 6) >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cos_sim"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    with_rank: bool = False,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the corpus — the
+    search the reference delivers documents INTO OpenSearch for
+    (kds_example/oss_exp.py match_all / search helpers are the §2.8
+    query surface; this is the scored variant), computed Spark-side.
+
+    Scale shape: the ``isin(query_tokens)`` filter lands directly on
+    the exploded postings BEFORE any shuffle, so posting volume is
+    bounded by the query vocabulary, not the corpus vocabulary; corpus
+    stats (N, avgdl) are a broadcast 1-row aggregate; the final cut is
+    TakeOrderedAndProject. Per-term weights and the summed score are
+    rounded on a 6-dp grid so ranking (and the DuckDB oracle hash)
+    is platform-exact; returns (doc, bm25) with bm25 at 4 dp.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc"), TX.words(text_col).alias("tks")
+    ).withColumn("dl", F.size("tks").cast("double"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posts = (
+        base.select("doc", "dl", F.explode("tks").alias("tok"))
+        .filter(F.col("tok").isin(list(query_tokens)))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = posts.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    terms = (
+        posts.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", F.round(idf * tf_norm, 6).alias("w"))
+    )
+    cut = (
+        terms.groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc")
+        .limit(top_k)
+    )
+    if with_rank:
+        from pyspark.sql.window import Window
+
+        # ranking window runs on the already-limited top_k rows (a
+        # single tiny partition by construction), never the corpus
+        rn = F.row_number().over(Window.orderBy(F.desc("score"), "doc"))
+        return cut.select(
+            "doc", F.round("score", 4).alias("bm25"), rn.cast("long").alias("rank")
+        )
+    return cut.select("doc", F.round("score", 4).alias("bm25"))

@@ -284,3 +284,194 @@ def q81_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_BM25_QUERY = ("spark", "stream", "join")
+
+
+@query(
+    "q82_bm25_search",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(CAST(len(tks) AS DOUBLE)) AS avgdl
+            FROM base
+        ),
+        posts AS (
+            SELECT doc_id, tok,
+                   CAST(count(*) AS DOUBLE) AS tf,
+                   any_value(dl) AS dl
+            FROM (
+                SELECT doc_id, CAST(len(tks) AS DOUBLE) AS dl,
+                       unnest(tks) AS tok
+                FROM base
+            )
+            WHERE tok IN ('spark', 'stream', 'join')
+            GROUP BY doc_id, tok
+        ),
+        dfreq AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY tok
+        ),
+        terms AS (
+            SELECT p.doc_id,
+                   round(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * 2.2
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+                       6
+                   ) AS w
+            FROM posts p JOIN dfreq d ON d.tok = p.tok, stats s
+        ),
+        scores AS (
+            SELECT doc_id, round(sum(w), 6) AS score FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scores
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    description="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed "
+    "3-term query — the scored version of the reference's OpenSearch "
+    "search surface (SURVEY.md §2.8), computed engine-side: postings "
+    "filtered to the query vocabulary before any shuffle, corpus stats "
+    "as a broadcast 1-row aggregate, TakeOrdered top-20",
+    tags=("llm", "search", "topk"),
+)
+def q82_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: see operators/tfidf.bm25_topk — postings volume is
+    bounded by the query vocabulary (3 terms), never the corpus
+    vocabulary; ranking is on the shared 6-dp grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.tfidf import bm25_topk
+
+    return bm25_topk(docs, "doc_id", "text", list(_BM25_QUERY)).select(
+        F.col("doc").alias("doc_id"), "bm25"
+    )
+
+
+_RRF_K = 60
+_DOT_DUCK84 = (
+    "list_sum(list_transform(generate_series(1, len(q_emb)), "
+    "i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+_NORM_Q84 = "sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_C84 = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "q84_hybrid_search",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT vec_id, {_DOT_DUCK84} / ({_NORM_Q84} * {_NORM_C84}) AS cos
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> q_id
+        ),
+        cosr AS (
+            SELECT id, r_c FROM (
+                SELECT vec_id AS id,
+                       row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id) AS r_c
+                FROM scored
+            ) WHERE r_c <= 50
+        ),
+        base AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(CAST(len(tks) AS DOUBLE)) AS avgdl
+            FROM base
+        ),
+        posts AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+            FROM (
+                SELECT doc_id, CAST(len(tks) AS DOUBLE) AS dl, unnest(tks) AS tok
+                FROM base
+            )
+            WHERE tok IN ('spark', 'stream', 'join')
+            GROUP BY doc_id, tok
+        ),
+        dfreq AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY tok
+        ),
+        terms AS (
+            SELECT p.doc_id,
+                   round(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * 2.2
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+                       6
+                   ) AS w
+            FROM posts p JOIN dfreq d ON d.tok = p.tok, stats s
+        ),
+        bscores AS (
+            SELECT doc_id, round(sum(w), 6) AS score FROM terms GROUP BY doc_id
+        ),
+        bmr AS (
+            SELECT id, r_b FROM (
+                SELECT doc_id AS id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r_b
+                FROM bscores
+            ) WHERE r_b <= 50
+        ),
+        fused AS (
+            SELECT coalesce(bmr.id, cosr.id) AS doc_id,
+                   bmr.r_b AS bm25_rank,
+                   cosr.r_c AS cos_rank,
+                   round(
+                       coalesce(1.0 / ({_RRF_K} + bmr.r_b), 0)
+                       + coalesce(1.0 / ({_RRF_K} + cosr.r_c), 0),
+                       6
+                   ) AS rrf
+            FROM bmr FULL OUTER JOIN cosr ON bmr.id = cosr.id
+        )
+        SELECT doc_id, bm25_rank, cos_rank, rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """,
+    description="Hybrid retrieval: reciprocal-rank fusion (k=60) of the "
+    "BM25 top-50 (3-term lexical query) and the exact cosine top-50 "
+    "(query = doc 0's embedding) — the modern lexical+dense search "
+    "stack over the same corpus, exploiting the shared doc_id/vec_id "
+    "domain",
+    tags=("llm", "search", "similarity"),
+)
+def q84_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each retriever is independently scale-safe (BM25:
+    query-vocab-bounded postings + TakeOrdered; cosine: one GEMM scan
+    pass); the fusion full-outer join runs on two <= 50-row lists —
+    constant work no matter the corpus size."""
+    from ..operators.similarity import as_queries, brute_force_topk
+    from ..operators.tfidf import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bmr = bm25_topk(
+        docs, "doc_id", "text", list(_BM25_QUERY), top_k=50, with_rank=True
+    ).select(F.col("doc").alias("id"), F.col("rank").alias("bm25_rank"))
+    cosr = brute_force_topk(
+        emb, as_queries(emb.filter(F.col("vec_id") == 0)), k=50
+    ).select(F.col("vec_id").alias("id"), F.col("rn").cast("long").alias("cos_rank"))
+    fused = bmr.join(cosr, "id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.col("id").alias("doc_id"), "bm25_rank", "cos_rank", rrf.alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )

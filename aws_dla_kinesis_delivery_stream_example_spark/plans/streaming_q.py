@@ -210,3 +210,82 @@ def q73_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+def _stream_documents_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
+    """documents-table twin of _stream_events_closed: stream the
+    canonical parquet through Structured Streaming (availableNow) and
+    return the materialized memory-sink table."""
+    tmp = tempfile.mkdtemp(prefix="stream_doc_")
+    name = f"sd_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src = os.path.join(sf_dir, "documents.parquet")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src + "*")
+        q = (
+            op(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
+    "q83_streaming_curation",
+    oracle="""
+        SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE lang = 'en'
+          AND n_chars BETWEEN 100 AND 5000
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(text) >= 0.6
+        GROUP BY source
+        ORDER BY source
+    """,
+    description="The curation pipeline as ONE streaming job: documents "
+    "stream through the q30 quality gate, then stateful content-digest "
+    "dedup (dropDuplicates on (source, md5)), counted per source — "
+    "hash-checked against the batch DISTINCT oracle. Closed-input mode "
+    "uses unwatermarked dropDuplicates (state = one digest set, exact); "
+    "production ingestion would swap dropDuplicatesWithinWatermark for "
+    "bounded state, as q51 demonstrates on events",
+    tags=("streaming", "llm", "dedup"),
+)
+def q83_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the quality filter is a narrow scan-side predicate
+    (runs BEFORE dedup state, shrinking it); dedup state is keyed on
+    16-byte digests, never document bodies; per-source counts are a
+    tiny final agg. The per-(source, digest) dedup key makes the count
+    survivor-independent, so the streaming answer is deterministic."""
+    from pyspark.sql import functions as FF
+
+    def op(df):
+        ar = FF.length(FF.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / FF.length(
+            "text"
+        ).cast("double")
+        return (
+            df.filter(
+                (FF.col("lang") == "en")
+                & FF.col("n_chars").between(100, 5000)
+                & (ar >= 0.6)
+            )
+            .select("source", FF.md5("text").alias("digest"))
+            .dropDuplicates(["source", "digest"])
+        )
+
+    out = _stream_documents_closed(spark, sf_dir, op, "append")
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )

@@ -132,13 +132,27 @@ def main() -> None:
         )
         row["tfidf_candidates"] = n_tf
 
+        # the ABSOLUTE cap is the documented 100 TB mode: candidate
+        # growth must flatten once df outgrows the cap (the relative
+        # mode above is the catalog/test-fixture mode and is allowed
+        # to grow ~quadratically on the planted near-dup population)
+        n_tfa, row["tfidf_abs_sec"] = timed(
+            lambda: TF.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=-1.0, max_df=50
+            ).count()
+        )
+        row["tfidf_abs_candidates"] = n_tfa
+
         results[sf] = row
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
     lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
     growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
-    for op in ("jaccard", "minhash", "simhash", "contam", "boiler", "semdedup", "tfidf"):
+    for op in (
+        "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
+        "tfidf", "tfidf_abs",
+    ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)

@@ -68,3 +68,26 @@ def test_weights_are_on_6dp_grid(spark):
     docs = _docs(spark, [(1, "a a b"), (2, "b c")])
     ws = [r["w"] for r in tfidf_postings(docs, "doc_id", "text").collect()]
     assert all(abs(w - round(w, 6)) < 1e-12 for w in ws)
+
+
+def test_bm25_tf_and_length_normalization(spark):
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.tfidf import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            # doc 1: two hits, short -> top
+            (1, "spark spark engine"),
+            # doc 2: one hit, same length
+            (2, "spark other engine"),
+            # doc 3: one hit, much longer -> length-normalized below 2
+            (3, "spark " + "filler " * 40),
+            # doc 4: no hits -> absent
+            (4, "nothing relevant here"),
+        ],
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["spark"], top_k=10).collect()
+    ranked = [r["doc"] for r in out]
+    assert ranked == [1, 2, 3]  # tf dominance, then length normalization
+    scores = {r["doc"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2] > scores[3] > 0
