@@ -12,5 +12,6 @@ from . import curation2  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "all_specs", "query"]
