@@ -475,3 +475,43 @@ def q84_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q88_partition_pruned_scan",
+    oracle="""
+        SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS event_date,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE CAST(date_trunc('day', ts) AS DATE)
+              BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        GROUP BY event_date, event_type
+        ORDER BY event_date, event_type
+    """,
+    description="Storage-layout operator: events re-materialized as a "
+    "date-partitioned lake (.../event_date=YYYY-MM-DD/), then a "
+    "3-of-30-day query reads it back — the BETWEEN on the partition "
+    "column compiles to PartitionFilters, so 90% of the lake is never "
+    "listed (tests assert the pruned plan); results hash-checked "
+    "against the flat-table oracle",
+    tags=("events", "storage", "pruning"),
+)
+def q88_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: partition pruning happens at PLANNING time on the
+    directory listing — at 100 TB the difference between scanning 3
+    days and listing 10 years. Pushdown (row-group skip) still applies
+    within the surviving partitions; the agg is map-side combined on
+    the small (date, type) key space."""
+    from ..sources.partitioned import read_events_for_dates
+
+    ev = read_events_for_dates(spark, sf_dir, "2024-01-10", "2024-01-12")
+    return (
+        ev.groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_date", "event_type")
+    )

@@ -84,3 +84,24 @@ def test_window_queries_single_sort_per_key(spark):
     exchange — the same-partitioning reuse SCALE.md promises."""
     plan = plan_of(spark, "q80_session_funnel")
     assert plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """q88's layout: the date BETWEEN must appear as PartitionFilters
+    (directory-level pruning), and the scan must select only the 3
+    surviving partitions of 30."""
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.partitioned import (
+        read_events_for_dates,
+    )
+
+    df = read_events_for_dates(spark, SF, "2024-01-10", "2024-01-12")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pushed = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pushed and pushed.strip() != ""
+    # directory-level selectivity: 3 of 30 daily partitions survive
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark reports the pruned count in the scan node
+        assert int(m.group(1)) == 3
