@@ -108,3 +108,125 @@ def q54_exists_aggregate_subquery(spark: SparkSession, sf_dir: str) -> DataFrame
         """,
         ("customer", "orders"),
     )
+
+
+@query(
+    "q89_grouping_sets",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY status, priority
+    """,
+    description="Explicit GROUPING SETS (the (2.12 'ROLLUP/CUBE/"
+    "GROUPING SETS' row's third form): four aggregation granularities "
+    "in ONE pass via Spark's Expand operator — at scale, 4x cheaper "
+    "than four separate scans unioned",
+    tags=("sql", "aggregate", "grouping"),
+)
+def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: GROUPING SETS compiles to Expand (each input row
+    emitted once per grouping set) + ONE partial-agg shuffle — the
+    corpus is scanned once no matter how many granularities."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY status, priority
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "q90_cdc_merge",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 1000) AS BIGINT) AS price_m,
+                   1 AS version
+            FROM orders
+        ),
+        updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   (CAST(round(o_totalprice * 1000) AS BIGINT) // 10) * 11 AS price_m,
+                   2 AS version
+            FROM orders WHERE o_orderkey % 5 = 0
+        ),
+        unioned AS (
+            SELECT * FROM base UNION ALL SELECT * FROM updates
+        ),
+        latest AS (
+            SELECT o_orderkey, o_orderstatus, price_m
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY version DESC
+                ) AS rn
+                FROM unioned
+            ) WHERE rn = 1
+        )
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(price_m) / 1000.0, 2) AS total
+        FROM latest
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    description="CDC latest-wins merge (the lakehouse MERGE INTO / "
+    "upsert-compaction shape): base snapshot unioned with an updates "
+    "batch, one row_number pass keeps the highest version per key, "
+    "audited per final status",
+    tags=("sql", "cdc", "window"),
+)
+def q90_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: union is free (no shuffle); the latest-wins window
+    shuffles once on the merge key — exactly what a partitioned
+    compaction job does per partition, so the same plan IS the 100 TB
+    incremental-merge job. Updates here are synthesized from the base
+    table (keys %5==0) so the query is self-contained and
+    deterministic. Prices travel as INTEGER milli-dollars (the 2-dp
+    source values scale exactly, and the +10%% update is (m DIV 10)*11
+    — exact integer arithmetic), because per-row round(x*1.1, 2)
+    proved engine-divergent at half boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    price_m = F.round(F.col("o_totalprice") * 1000, 0).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", price_m.alias("price_m"), F.lit(1).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.expr("CAST(round(o_totalprice * 1000) AS BIGINT) DIV 10") * 11).alias("price_m"),
+        F.lit(2).alias("version"),
+    )
+    unioned = base.unionByName(updates)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "version")
+    )
+    return (
+        latest.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("price_m") / 1000.0, 2).alias("total"),
+        )
+        .orderBy("status")
+    )

@@ -105,3 +105,11 @@ def test_partition_pruning_reaches_scan(spark):
     m = re.search(r"partition count: (\d+)", plan)
     if m:  # Spark reports the pruned count in the scan node
         assert int(m.group(1)) == 3
+
+
+def test_grouping_sets_compiles_to_expand(spark):
+    """q89: four aggregation granularities must run as ONE Expand pass
+    + one shuffle — not four unioned scans."""
+    plan = plan_of(spark, "q89_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1  # one pass over orders
