@@ -289,3 +289,40 @@ def q83_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
         .orderBy("source")
     )
+
+
+@query(
+    "q91_streaming_stateful_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="CUSTOM stateful operator under the oracle gate: "
+    "applyInPandasWithState per-user running (count, sum) state driven "
+    "through the real streaming path on the closed events table; the "
+    "final per-user state row must equal the batch GROUP BY. State is "
+    "one fixed-width tuple per user — scales with |users|, not "
+    "|events|",
+    tags=("streaming", "stateful"),
+)
+def q91_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory sink in update mode appends one row per user per
+    micro-batch; the FINAL state row per user is the one with the
+    highest n_events (monotonic), selected with a per-user window —
+    robust to however many micro-batches the file source chooses."""
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.stateful import running_user_totals
+
+    out = _stream_events_closed(spark, sf_dir, running_user_totals, "update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
