@@ -91,20 +91,32 @@ def tfidf_cosine_pairs(
     """All doc pairs sharing >= 1 (surviving) term, with TF-IDF cosine
     >= ``threshold``. Returns (doc_a, doc_b, cos_sim) with doc_a <
     doc_b, cosine rounded to 4 dp (threshold applied on the 6-dp
-    grid)."""
-    w = tfidf_postings(
-        docs, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac
-    ).persist()
-    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    grid).
+
+    Dot products and norms are summed in INTEGER milli-weight units
+    (w_m = round(w * 1000)): double sums are accumulation-order-
+    dependent, and a pair whose cosine lands on a rounding boundary
+    would flip in/out of the result between engines. Integer sums are
+    exact and order-free, so the downstream sqrt/divide/round runs on
+    bit-identical inputs everywhere. (Magnitudes: w_m <= ~1e7 for any
+    realistic tf*idf, squares <= 1e14, row sums well inside int64.)"""
+    w = (
+        tfidf_postings(docs, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac)
+        .withColumn("w_m", F.round(F.col("w") * 1000, 0).cast("long"))
+        .persist()
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w_m") * F.col("w_m")).cast("double")).alias("nrm")
+    )
     a, b = w.alias("a"), w.alias("b")
     dots = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .agg(F.sum(F.col("a.w_m") * F.col("b.w_m")).alias("dot"))
     )
     na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")

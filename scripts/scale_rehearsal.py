@@ -144,6 +144,9 @@ def main() -> None:
         row["tfidf_abs_candidates"] = n_tfa
 
         results[sf] = row
+        # operator-internal persists (postings/shingle staging) are
+        # per-measurement scratch; don't let them tax the next SF
+        spark.catalog.clearCache()
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
     lo, hi = results[SFS[0][0]], results[SFS[-1][0]]

@@ -97,19 +97,25 @@ def main() -> None:
     # when the driver regenerated events.parquet mid-round. Stamp the
     # artifact with the data it actually ran against so staleness is
     # detectable: events schema + mtime + run time.
-    import pyarrow.parquet as _pq
+    # provenance must never cost the report itself: if the schema read
+    # fails (testdata regenerating mid-run — the very scenario _meta
+    # detects), record the error and still write every query result
+    try:
+        import pyarrow.parquet as _pq
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    report["_meta"] = {
-        "sf_dir": sf_dir,
-        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "events_mtime": time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(ev_path))
-        ),
-        "events_schema": {
-            f.name: str(f.type) for f in _pq.read_schema(ev_path)
-        },
-    }
+        ev_path = os.path.join(sf_dir, "events.parquet")
+        report["_meta"] = {
+            "sf_dir": sf_dir,
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "events_mtime": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(ev_path))
+            ),
+            "events_schema": {
+                f.name: str(f.type) for f in _pq.read_schema(ev_path)
+            },
+        }
+    except Exception as exc:  # noqa: BLE001
+        report["_meta"] = {"sf_dir": sf_dir, "err": f"{type(exc).__name__}: {exc}"[:300]}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(

@@ -86,25 +86,15 @@ def _brute_sessions(events, gap_s=1800):
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_event, min_size=1, max_size=30))
 def test_session_funnel_session_count_matches_bruteforce(spark, events):
-    """q80's session assignment (the window cumsum) must produce
-    exactly the brute-force gaps-and-islands sessions."""
-    df = _mk_df(spark, events)
-    from pyspark.sql.window import Window as W
+    """q80's session assignment (the ACTUAL production helper,
+    plans.corpus.session_assignment) must produce exactly the
+    brute-force gaps-and-islands sessions."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.corpus import (
+        session_assignment,
+    )
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    flagged = df.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (us - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    df = _mk_df(spark, events)
+    sessions = session_assignment(df)
     per = (
         sessions.groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n"))
