@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from .staging import stage
 
 
 def content_digest(text_col) -> Column:
@@ -114,10 +115,10 @@ def boilerplate_ratio(
     # set membership are injective-mapping-invariant.
     from .dedup import _shingle_hash_rows
 
-    sh = (
-        _shingle_hash_rows(docs, id_col, text_col, n)
-        .select(F.col("doc").alias(id_col), F.col("h").alias("shingle"))
-        .persist()
+    sh = stage(
+        _shingle_hash_rows(docs, id_col, text_col, n).select(
+            F.col("doc").alias(id_col), F.col("h").alias("shingle")
+        )
     )
     boiler = (
         sh.groupBy("shingle")

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .staging import stage
+
 # Mersenne prime 2^31-1: universal-hash modulus; xxhash64 gives the base
 # shingle hash (folded into the 31-bit field so a*h never overflows
 # int64 under ANSI arithmetic). All constants fixed => deterministic
@@ -66,6 +68,10 @@ def shingle_jaccard_pairs(
     so the result is still an exact Jaccard — over the rare-shingle
     space). Identical/near-identical docs still match: they share their
     rare shingles too. Default None = fully exact (oracle parity).
+
+    The shingle table is persisted as staging; after the terminal
+    action on the returned frame, call ``staging.release_staging()``
+    to drop it (bench/rehearsal do).
     """
     # Shingling is the expensive narrow map and feeds three consumers
     # (sizes + both join sides): materialize it once. At 100 TB this is
@@ -83,7 +89,7 @@ def shingle_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
-    sh = sh.persist()
+    sh = stage(sh)  # caller releases via staging.release_staging()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -190,7 +196,7 @@ def minhash_near_duplicates(
     rows = n_hashes // bands
     # Signature computation (shingle + 64 min-aggs) feeds both join
     # sides — materialize once (staging table at 100 TB).
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist()
+    sig = stage(minhash_signatures(df, id_col, text_col, n_hashes, shingle_n))
     # Narrow band join: only (doc, band) rows shuffle; the 64-long
     # signatures re-attach AFTER pair dedup, so candidate multiplicity
     # never multiplies the signature payload (the shuffle-size property
@@ -426,7 +432,7 @@ def simhash_near_duplicates(
     the join at unique-fingerprint cardinality; doc multiplicity
     re-attaches after the (tiny) verified sig-pair set.
     """
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = stage(simhash_signatures(df, id_col, text_col))
     usig = sig.select("sig", "chunks").distinct()
     spair = (
         simhash_band_candidates(usig, max_hamming)

@@ -29,6 +29,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from .staging import stage
+
+# Milli-weight magnitude bound for the integer cosine arithmetic.  The
+# squared-norm / dot sums run in int64, which under non-ANSI Spark
+# WRAPS silently on overflow — corrupting cosines instead of failing.
+# |w_m| <= 3e6 keeps every square <= 9e12, so a document needs > 1e6
+# surviving distinct terms before a sum can reach int64 range; weights
+# above the bound (w = tf*idf > 3000, e.g. a pathological doc
+# repeating one rare token ~1e5+ times) fail fast with sizing
+# guidance instead (same valve philosophy as max_df / the GEMM budget
+# guard in clustering.py).
+_MAX_W_M = 3_000_000
+
+
+def _checked_milliweight(w_m):
+    return F.when(
+        F.abs(w_m) > _MAX_W_M,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "tfidf weight exceeds the integer-cosine bound "
+                    f"(|w*1000| > {_MAX_W_M}): a document repeats a rare "
+                    "token enough to overflow int64 norm sums. Cap term "
+                    "frequency upstream or drop the token via max_df; "
+                    "offending w_m="
+                ),
+                w_m.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w_m)
 
 
 def tfidf_postings(
@@ -98,12 +128,19 @@ def tfidf_cosine_pairs(
     dependent, and a pair whose cosine lands on a rounding boundary
     would flip in/out of the result between engines. Integer sums are
     exact and order-free, so the downstream sqrt/divide/round runs on
-    bit-identical inputs everywhere. (Magnitudes: w_m <= ~1e7 for any
-    realistic tf*idf, squares <= 1e14, row sums well inside int64.)"""
-    w = (
+    bit-identical inputs everywhere. Magnitudes are CHECKED, not
+    assumed: |w_m| > _MAX_W_M raises at scan time (see
+    _checked_milliweight) rather than letting int64 norm sums wrap.
+
+    The postings table is persisted as staging (feeds norms + both
+    join sides); after the terminal action on the returned frame, call
+    ``staging.release_staging()`` to drop it (bench/rehearsal do)."""
+    w = stage(
         tfidf_postings(docs, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac)
-        .withColumn("w_m", F.round(F.col("w") * 1000, 0).cast("long"))
-        .persist()
+        .withColumn(
+            "w_m",
+            _checked_milliweight(F.round(F.col("w") * 1000, 0).cast("long")),
+        )
     )
     norms = w.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w_m") * F.col("w_m")).cast("double")).alias("nrm")
@@ -137,8 +174,9 @@ def bm25_topk(
 ) -> DataFrame:
     """BM25 ranked retrieval for a fixed query over the corpus — the
     search the reference delivers documents INTO OpenSearch for
-    (kds_example/oss_exp.py match_all / search helpers are the §2.8
-    query surface; this is the scored variant), computed Spark-side.
+    (kds_example/oss_utils.py:43-47 match_all / search helpers are the
+    §2.8 query surface; this is the scored variant), computed
+    Spark-side.
 
     Scale shape: the ``isin(query_tokens)`` filter lands directly on
     the exploded postings BEFORE any shuffle, so posting volume is

@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob as _glob
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -67,13 +68,23 @@ def materialize_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             # a concurrent materializer won the rename; ours is surplus
             shutil.rmtree(staging, ignore_errors=True)
     # GC copies of THIS sf built from older testdata generations (the
-    # mtime key changed); never touches the live path or staging dirs
+    # mtime key changed); never touches the live path or staging dirs.
+    # Candidates are parsed strictly — the sf_name component must equal
+    # this sf_name and be followed by exactly a 12-hex mtime key — so a
+    # different sf whose sanitized basename shares this one as a prefix
+    # (e.g. 'sf0' vs 'sf0_1') can never be matched and deleted while a
+    # concurrent query scans it.
     sf_name, key = _name_parts(sf_dir)
     pattern = os.path.join(
         tempfile.gettempdir(), f"spark_graft_events_by_date_{sf_name}_*"
     )
+    exact = re.compile(
+        f"spark_graft_events_by_date_{re.escape(sf_name)}_[0-9a-f]{{12}}"
+    )
     for d in _glob.glob(pattern):
-        if os.path.abspath(d) != os.path.abspath(path) and ".tmp-" not in d:
+        if exact.fullmatch(os.path.basename(d)) is None:
+            continue
+        if os.path.abspath(d) != os.path.abspath(path):
             shutil.rmtree(d, ignore_errors=True)
     return path
 

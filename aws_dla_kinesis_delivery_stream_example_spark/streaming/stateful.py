@@ -20,7 +20,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..shipping import ensure_shipped
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+# Sum is held in integer centi-units, not a double: float partial sums
+# accumulate in per-batch arrival order, so an adversarial value set
+# could land the final cent differently from the batch twin's one-pass
+# sum (the q81/q90 integer-units pattern).  Event values are exact
+# 2-dp decimals, so round(value*100) per row is lossless and the
+# cross-batch sum is exact regardless of micro-batch order.
+STATE_SCHEMA = "n long, total_centis long"
 
 
 def _update(
@@ -28,13 +34,13 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     import pandas as _pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total_centis = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_centis += int((pdf["value"] * 100).round().sum())
+    state.update((n, total_centis))
     yield _pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total_centis / 100.0]}
     )
 
 

@@ -22,6 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (  # noqa: E402
+    release_staging,
+)
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs  # noqa: E402
 from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark  # noqa: E402
 
@@ -68,6 +71,7 @@ def bench_queries(spark) -> dict[str, float]:
                 # Operator-internal persists (staging tables) are per-query
                 # scratch: release them, and force a collection so one run's
                 # garbage doesn't tax the next one's measurement.
+                release_staging()
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
             timings[name] = round(best, 3)
@@ -79,6 +83,7 @@ def bench_queries(spark) -> dict[str, float]:
                 timings[name] = round(best, 3)
             else:
                 timings[name] = {"err": err}
+            release_staging()
             spark.catalog.clearCache()
     return timings
 

@@ -83,6 +83,11 @@ def main() -> None:
         finally:
             # operator-internal persists (staging tables) are per-query
             # scratch; don't let 80 queries' worth accumulate
+            from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+                release_staging,
+            )
+
+            release_staging()
             spark.catalog.clearCache()
         status = "FAIL" if entry["err"] and entry["err"] != "no_oracle" else (
             "rows-only" if entry["err"] == "no_oracle" else "ok")

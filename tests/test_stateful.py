@@ -56,6 +56,46 @@ def test_stateful_stream_final_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_sum_order_exactness(spark, tmp_path):
+    """State holds integer centi-units, so the final cent cannot drift
+    with micro-batch arrival order.  Drive values whose float partial
+    sums are classically lossy (0.01/0.05/5.55 are not binary-exact)
+    through six micro-batches and require the mathematically exact
+    total, not just stream==batch agreement."""
+    import os as _os
+
+    cents = [0.01, 0.05, 5.55, 1.05, 0.10, 9.99]
+    src = str(tmp_path / "src")
+    per_batch = 500
+    exact_centis = 0
+    for b in range(6):
+        v = [cents[b]] * per_batch
+        exact_centis += round(cents[b] * 100) * per_batch
+        spark.createDataFrame(
+            [(1, None, x) for x in v], "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(_os.path.join(src, f"b{b}"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_exact")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    row = spark.sql(
+        "SELECT n_events, total_value FROM stateful_exact ORDER BY n_events DESC LIMIT 1"
+    ).collect()[0]
+    assert row.n_events == 6 * per_batch
+    assert row.total_value == exact_centis / 100.0
+
+
 def test_delivery_throughput_metrics(spark, tmp_path):
     """K8/A4: progress log written, TPS computed from query progress."""
     from aws_dla_kinesis_delivery_stream_example_spark.sources.jsonlines import (

@@ -91,3 +91,46 @@ def test_bm25_tf_and_length_normalization(spark):
     assert ranked == [1, 2, 3]  # tf dominance, then length normalization
     scores = {r["doc"]: r["bm25"] for r in out}
     assert scores[1] > scores[2] > scores[3] > 0
+
+
+def test_staging_released_after_sweep(spark):
+    """Operator-internal staging caches must be releasable: run the
+    persisting operators, act on their results, release, and require
+    zero persistent RDDs left in the session (the long-lived-session
+    leak the round-4 review flagged)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup, tfidf
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tfidf.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert release_staging(blocking=True) >= 2
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_milliweight_overflow_guard(spark):
+    """A pathological doc repeating one rare token enough to push
+    w_m past the int64-safe bound must FAIL FAST, not wrap silently."""
+    import pytest as _pytest
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import tfidf
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zzquare " * 2_000_000),  # tf=2e6 of a rare token: w ~ tf*ln(3/2) > 3000
+            (2, "ordinary text here"),
+        ],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="integer-cosine bound"):
+        tfidf.tfidf_cosine_pairs(docs, "doc_id", "text").count()
+    release_staging(blocking=True)
