@@ -175,6 +175,95 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def learned_centroids(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 8,
+    train_iters: int = 1,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: deterministic seeds (k smallest
+    ids) refined by ``train_iters`` Lloyd iterations. Every step is on
+    the 6-dp rounding grid (clustering._batch_assign /
+    updated_centroids), so the trained centroids — and therefore the
+    probe decisions — are bit-reproducible across engines and runs."""
+    from .clustering import kmeans_seeds, updated_centroids
+
+    cents = kmeans_seeds(candidates, id_col, vec_col, n_list)
+    for _ in range(train_iters):
+        cents = updated_centroids(candidates, cents, id_col, vec_col)
+    return cents
+
+
+def ivf_learned_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_list: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 1,
+) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer (the production shape,
+    vs the data-independent sign buckets of ``ivf_topk``): k-means
+    centroids partition the corpus into ``n_list`` cells that follow
+    the data distribution, and each query scans only its ``n_probe``
+    nearest cells — an ``n_list/n_probe``-fold candidate reduction
+    that, unlike sign bucketing, does not degrade when the embedding
+    mass concentrates away from the coordinate hyperplanes.
+
+    100 TB sizing: n_list ~ sqrt(N) cells keeps both the per-cell scan
+    (N/n_list vectors) and the query->centroid argmin (n_list
+    broadcast-sized doubles) sub-linear; train on a sample, persist
+    the assignment partitioned BY CELL so each probe is a pruned
+    partition scan (see SCALE.md 'ANN'). Here the assignment rides in
+    the same job; the per-cell filters below are the local-mode analog
+    of partition pruning.
+
+    Probe selection happens driver-side on the (tiny, closure-shipped)
+    query set: nearest ``n_probe`` centroids by 6-dp-rounded distance
+    with index tie-break — the same grid the oracle's SQL reproduces.
+    Cells are disjoint, so each (query, candidate) pair is scored at
+    most once."""
+    from .clustering import assign_with_centroids
+
+    qp = _collect_queries(queries, "ivf_learned_topk")
+    if len(qp) == 0:
+        return _empty_topk(candidates.sparkSession)
+    cents = learned_centroids(candidates, train_iters=train_iters, n_list=n_list)
+    q_mat = _unit_rows(qp["q_emb"])
+    q_ids = qp["q_id"].to_numpy()
+    raw = np.vstack(qp["q_emb"].to_numpy()).astype("float64")
+    c_sq = (cents * cents).sum(axis=1)
+    d2 = (raw * raw).sum(axis=1, keepdims=True) - 2.0 * (raw @ cents.T) + c_sq
+    d2 = np.round(np.maximum(d2, 0.0), 6)
+
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        order = np.argsort(d2[qi], kind="stable")  # ties -> lower cell index
+        for cell in order[:n_probe].tolist():
+            probe_map.setdefault(int(cell), []).append(qi)
+
+    assigned = assign_with_centroids(
+        candidates, cents, include_vector=True
+    ).withColumnRenamed("id", "vec_id")
+    parts = []
+    for cell in sorted(probe_map):
+        idx = np.array(probe_map[cell])
+        parts.append(
+            _score_against(
+                assigned.filter(F.col("cluster") == int(cell)).select(
+                    "vec_id", "embedding"
+                ),
+                q_ids[idx],
+                q_mat[idx],
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    return _topk(scored, k)
+
+
 def embedding_near_duplicates(
     df: DataFrame, threshold: float = 0.95, n_bits: int = 3
 ) -> DataFrame:

@@ -373,3 +373,84 @@ def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q92_ivf_learned_topk",
+    oracle=f"""
+        WITH {_KMEANS_CTES},
+        c2 AS (
+            SELECT a1.cluster, u.pos, round(avg(u.val), 6) AS cv2
+            FROM a1 JOIN u USING (vec_id) GROUP BY a1.cluster, u.pos
+        ),
+        cu2 AS (
+            SELECT cu.cluster, cu.pos, coalesce(c2.cv2, cu.cval) AS cval
+            FROM cu LEFT JOIN c2 ON c2.cluster = cu.cluster AND c2.pos = cu.pos
+        ),
+        dd AS (
+            SELECT u.vec_id, cu2.cluster,
+                   round(sum((u.val - cu2.cval) * (u.val - cu2.cval)), 6) AS d2
+            FROM u JOIN cu2 USING (pos)
+            GROUP BY u.vec_id, cu2.cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rk
+                FROM dd) WHERE rk = 1
+        ),
+        qp AS (
+            SELECT vec_id AS q_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rk
+                FROM dd WHERE vec_id < 5) WHERE rk <= 2
+        ),
+        qe AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5
+        ),
+        cand AS (
+            SELECT a2.vec_id, a2.cluster, e.embedding
+            FROM a2 JOIN embeddings e USING (vec_id)
+        ),
+        scored AS (
+            SELECT qp.q_id, cand.vec_id,
+                   list_sum(list_transform(generate_series(1, len(q_emb)),
+                       i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q_emb,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+            FROM qp
+            JOIN cand USING (cluster)
+            JOIN qe ON qe.q_id = qp.q_id
+            WHERE cand.vec_id <> qp.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY round(cos, 6) DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn
+        FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn
+    """,
+    description="IVF ANN with a LEARNED coarse quantizer: k-means "
+    "centroids (deterministic seeds + one Lloyd refinement, all on the "
+    "6-dp grid) partition the corpus into data-following cells; each "
+    "query probes its 2 nearest cells — the production upgrade over "
+    "q34's data-independent sign buckets (recall property-tested vs "
+    "brute force in tests/test_clustering.py)",
+    tags=("llm", "similarity", "clustering"),
+)
+def q92_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = similarity.as_queries(emb.filter(F.col("vec_id") < 5))
+    return similarity.ivf_learned_topk(
+        emb, queries, k=5, n_list=_K, n_probe=2, train_iters=1
+    ).orderBy("q_id", "rn")
