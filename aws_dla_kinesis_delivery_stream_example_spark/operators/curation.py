@@ -51,7 +51,7 @@ def contaminated_ids(
 
     The benchmark shingle set is deduplicated and broadcast; candidate
     shingles stream through a map-side semi join. Shingles are
-    represented by their 8-byte blake2b hash (dedup._shingle_hash_rows)
+    represented by their md5-prefix hash (dedup._shingle_hash_rows)
     — membership is invariant under the injective mapping, the
     broadcast set shrinks ~4x, and the one-pass Python tokenize+hash
     beats interpreted JVM string-building (measured 4.4 s -> ~2 s at

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .staging import stage
 
-# Mersenne prime 2^31-1: universal-hash modulus; xxhash64 gives the base
-# shingle hash (folded into the 31-bit field so a*h never overflows
-# int64 under ANSI arithmetic). All constants fixed => deterministic
-# across runs/nodes.
+# Mersenne prime 2^31-1: universal-hash modulus; the md5 60-bit prefix
+# gives the base shingle hash (folded into the 31-bit field so a*h
+# never overflows int64 under ANSI arithmetic). All constants fixed =>
+# deterministic across runs/nodes AND reproducible in DuckDB SQL.
 _MERSENNE = (1 << 31) - 1
 
 
@@ -76,7 +76,7 @@ def shingle_jaccard_pairs(
     # Shingling is the expensive narrow map and feeds three consumers
     # (sizes + both join sides): materialize it once. At 100 TB this is
     # a staging table write, not a cache — same idea, explicit storage.
-    # Shingles are represented by their 8-byte blake2b hash, not the
+    # Shingles are represented by their md5-prefix hash, not the
     # string: Jaccard is invariant under an injective mapping, the join
     # key shrinks ~4x, and the Python hash pass beats interpreted
     # string-building (see _shingle_hash_rows).
@@ -120,8 +120,10 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     Arrow-batched Python, not JVM expressions: building shingle strings
     with interpreted transform/slice/concat_ws costs more than the whole
     downstream aggregation; Python does tokenizing+hashing in one pass
-    per batch. blake2b (keyed, 8-byte) is deterministic across workers
-    (unlike builtin hash() under PYTHONHASHSEED).
+    per batch. The md5 60-bit prefix is deterministic across workers
+    (unlike builtin hash() under PYTHONHASHSEED) AND bit-identical in
+    DuckDB, which is what puts the hash-based dedup queries under full
+    hash oracles.
     """
     from ..shipping import ensure_shipped
 
@@ -148,10 +150,13 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
                     if s not in seen:
                         seen.add(s)
                         out_doc.append(doc)
+                        # 60-bit md5 prefix mod p: ENGINE-PORTABLE —
+                        # DuckDB reproduces it as CAST('0x' ||
+                        # substring(md5(s),1,15) AS BIGINT) % p, which
+                        # is what lets the minhash pipeline (q27) run
+                        # under a full hash oracle instead of rows-only.
                         out_h.append(
-                            int.from_bytes(
-                                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                            )
+                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
                             % _MERSENNE
                         )
             yield _pd.DataFrame({"doc": out_doc, "h": out_h})
@@ -327,7 +332,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         def tok_bits(tok: str) -> np.ndarray:
             b = cache.get(tok)
             if b is None:
-                d = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                # first 8 md5 bytes, MSB-first: ENGINE-PORTABLE — DuckDB
+                # rebuilds the same 64-bit profile from the md5 hex
+                # prefix (two 32-bit halves), putting SimHash (q28)
+                # under a full hash oracle.
+                d = hashlib.md5(tok.encode()).digest()[:8]
                 b = np.unpackbits(np.frombuffer(d, np.uint8)).astype(np.int64)
                 if len(cache) < 200_000:
                     cache[tok] = b

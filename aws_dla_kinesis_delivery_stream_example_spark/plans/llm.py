@@ -132,11 +132,59 @@ def q55_jaccard_freq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q27_minhash_lsh_dedup",
-    oracle=None,  # xxhash64-based: not DuckDB-reproducible; verified in
-    # tests/test_llm_ops.py against exact shingle Jaccard.
+    # Full hash oracle: the md5-prefix base hash and the fixed universal-
+    # hash constants are bit-reproducible in DuckDB, so the oracle
+    # recomputes the exact 64-long signatures and the LSH SEMANTICS
+    # (pairs sharing >= 1 of the 16 bands). Spark's xxhash64 band KEYS
+    # are an internal equality acceleration — banding on hashed slices
+    # admits the same pair set (collisions are filtered by the
+    # est_jaccard >= 0.5 verification), so the outputs hash-match.
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS doc,
+                   CAST('0x' || substring(md5(array_to_string(tk[i:i+4], ' ')), 1, 15)
+                        AS BIGINT) % 2147483647 AS h
+            FROM w, UNNEST(generate_series(1, len(tk) - 4)) AS t(i)
+            WHERE len(tk) >= 5
+        ),
+        mh AS (
+            SELECT doc, k,
+                   min(((2*k + 1) * h + 1000003 * (k + 1)) % 2147483647) AS v
+            FROM sh, UNNEST(generate_series(0, 63)) AS tt(k)
+            GROUP BY doc, k
+        ),
+        sig AS (SELECT doc, list(v ORDER BY k) AS s FROM mh GROUP BY doc),
+        bands AS (
+            SELECT doc, b, s[b*4 + 1 : b*4 + 4] AS bv
+            FROM sig, UNNEST(generate_series(0, 15)) AS bb(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bv = b.bv AND a.doc < b.doc
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(sa.s[i] = sb.s[i] AS INT))) / 64.0 AS ej
+            FROM cand c
+            JOIN sig sa ON sa.doc = c.doc_a
+            JOIN sig sb ON sb.doc = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(ej, 3) AS est_jaccard
+        FROM est WHERE ej >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
     description="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
-    "estimated Jaccard >= 0.5 — the scale path for shingle dedup",
-    tags=("llm", "dedup", "rows-only"),
+    "estimated Jaccard >= 0.5 — the scale path for shingle dedup; md5-"
+    "seeded hashing makes the signatures engine-portable, so the whole "
+    "pipeline (shingle -> signature -> band join -> verify) runs under "
+    "a full DuckDB hash oracle",
+    tags=("llm", "dedup"),
 )
 def q27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -149,10 +197,64 @@ def q27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q28_simhash_dedup",
-    oracle=None,  # xxhash64-based; Hamming property tested in pytest.
-    description="SimHash-64 near-dup pairs (Hamming <= 3) via 16-bit chunk "
-    "banding equi-join",
-    tags=("llm", "dedup", "rows-only"),
+    # Full hash oracle: token bit-profiles come from the md5 prefix
+    # (bit-identical in DuckDB), so the oracle recomputes the exact
+    # 64-bit fingerprints.  Spark's Manku block-triple banding is
+    # recall-GUARANTEED for Hamming <= 3 (>= 3 clean blocks => one
+    # matching triple) and false candidates die at the exact-Hamming
+    # verify, so the SEMANTIC spec — all pairs with bit_count(xor) <= 3
+    # — is the oracle; the banding is pure acceleration.
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id AS doc, t.tok, count(*) AS c
+            FROM w, UNNEST(tk) AS t(tok)
+            GROUP BY doc, t.tok
+        ),
+        hb AS (
+            SELECT tok,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hi,
+                   CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS lo
+            FROM (SELECT DISTINCT tok FROM tf)
+        ),
+        bits AS (
+            SELECT tf.doc, p.p,
+                   sum(tf.c * (2 * (CASE WHEN p.p >= 32
+                                         THEN (hb.hi >> (p.p - 32)) & 1
+                                         ELSE (hb.lo >> p.p) & 1 END) - 1)) AS s
+            FROM tf JOIN hb USING (tok), UNNEST(generate_series(0, 63)) AS p(p)
+            GROUP BY tf.doc, p.p
+        ),
+        halves AS (
+            SELECT doc,
+                   sum(CASE WHEN p >= 32 AND s > 0 THEN 1 << (p - 32) ELSE 0 END) AS shi,
+                   sum(CASE WHEN p < 32 AND s > 0 THEN 1 << p ELSE 0 END) AS slo
+            FROM bits GROUP BY doc
+        ),
+        sigs AS (
+            -- the sums above widen to HUGEINT; the BIGINT cast matters:
+            -- xor over 128-bit reps of mixed-sign pairs would see 64
+            -- phantom high bits and inflate the Hamming distance
+            SELECT doc,
+                   CAST(CASE WHEN shi >= 2147483648
+                             THEN (shi - 4294967296) * 4294967296 + slo
+                             ELSE shi * 4294967296 + slo END AS BIGINT) AS sig
+            FROM halves
+        )
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc < b.doc
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    description="SimHash-64 near-dup pairs (Hamming <= 3) via Manku "
+    "block-triple banding over distinct fingerprints; md5-seeded bit "
+    "profiles make the fingerprints engine-portable, so the operator "
+    "runs under a full DuckDB hash oracle",
+    tags=("llm", "dedup"),
 )
 def q28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -572,17 +674,32 @@ def q45_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_doc_fingerprint",
-    oracle=None,  # xxhash64-based rolling fingerprint; rows-only.
-    description="Document fingerprinting: xxhash64 content hash + "
-    "sign-bucket of the token-hash profile (fast exact-dup key)",
-    tags=("llm", "text", "rows-only"),
+    oracle="""
+        SELECT doc_id,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS content_hash,
+               CAST('0x' || substring(
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 15)
+                   AS BIGINT) AS normalized_hash
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Document fingerprinting: engine-portable 60-bit md5 "
+    "fingerprints of the raw and whitespace-normalized content (fast "
+    "exact-dup key; md5 is bit-identical across engines, so the "
+    "fingerprints — unlike xxhash64's seed-dependent output — are "
+    "fully hash-oracle-checkable)",
+    tags=("llm", "text"),
 )
 def q37_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit keys: 15 hex chars parse into int64 exactly in BOTH
+    engines (16 would overflow the signed cast); collision odds at
+    2^60 remain ~1e-5 for a billion docs — the exact-dup-key use."""
     docs = load_table(spark, sf_dir, "documents")
+    fp = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     return docs.select(
         "doc_id",
-        F.xxhash64("text").alias("content_hash"),
-        F.xxhash64(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("normalized_hash"),
+        fp(F.col("text")).alias("content_hash"),
+        fp(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("normalized_hash"),
     ).orderBy("doc_id")
 
 

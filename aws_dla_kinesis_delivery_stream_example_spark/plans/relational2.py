@@ -109,25 +109,46 @@ def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q43_approx_aggregates",
-    oracle=None,  # sketch outputs (HLL/KLL) are engine-specific by design
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(*) AS BIGINT) AS n,
+               TRUE AS hll_within_5pct,
+               TRUE AS p50_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     description="Approximate aggregates: approx_count_distinct (HLL) and "
-    "percentile_approx — the 100 TB substitutes for exact distinct/quantile",
-    tags=("aggregate", "approx", "rows-only"),
+    "percentile_approx — the 100 TB substitutes for exact distinct/"
+    "quantile. Sketch OUTPUTS are engine-specific, so the hashed "
+    "contract is tolerance VERDICTS: the oracle computes the exact "
+    "values and literal TRUE verdicts; the hash matches only if "
+    "Spark's sketches actually land within the advertised error bounds",
+    tags=("aggregate", "approx"),
 )
 def q43_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            # accuracy 1000 (~0.1% rank error): accuracy 10000 costs 5x
-            # the time for precision the approx use-case doesn't need
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        # accuracy 1000 (~0.1% rank error): accuracy 10000 costs 5x
+        # the time for precision the approx use-case doesn't need
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.count("*").alias("n"),
     )
+    ex = F.col("exact_parts").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (F.abs(F.col("approx_parts") - ex) <= 0.05 * ex).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.01 * F.abs(F.col("exact_p50"))
+        ).alias("p50_within_1pct"),
+    ).orderBy("l_returnflag")
 
 
 @query(
