@@ -20,6 +20,31 @@ from ..sources.tables import normalize_event_time
 from ..streaming import windows as SW
 from .catalog import query
 
+# State-store backend for the catalog drains. At 100 TB of events the
+# state store IS the scaling wall for stateful streaming (watermarked
+# windows, dedup, stream-stream joins, applyInPandasWithState): the
+# default HDFS-backed provider keeps every state row on the JVM heap,
+# so state is bounded by executor memory; RocksDB spills to local disk
+# with incremental checkpointing and is the provider a production
+# deployment runs. Default ON here; SPARK_GRAFT_STATE_STORE=hdfs
+# reverts to the heap provider.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+# Observability (K8): stateOperators metrics (state rows / bytes /
+# provider custom metrics) of the most recent drain, keyed by catalog
+# drain id — the same reconciliation surface the delivery pipeline's
+# _progress log gives the sinks.
+LAST_DRAIN_PROGRESS: dict[str, object] = {}
+
+
+def _state_store_conf() -> str | None:
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() == "hdfs":
+        return None
+    return _ROCKSDB_PROVIDER
+
 
 def _stream_table_closed(
     spark: SparkSession,
@@ -54,10 +79,14 @@ def _stream_table_closed(
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     name = f"sq_{uuid.uuid4().hex[:10]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    provider = _state_store_conf()
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if provider is not None:
+            spark.conf.set(_PROVIDER_CONF, provider)
         src = os.path.join(sf_dir, f"{table}.parquet")
         schema = spark.read.parquet(src).schema
         # The streaming file source wants a directory or a glob; the
@@ -75,8 +104,27 @@ def _stream_table_closed(
             .start()
         )
         q.awaitTermination()
+        # K8 observability: surface state rows/bytes (and the RocksDB
+        # custom metrics, which double as proof the provider was
+        # active) for the stateful stage(s) of this drain.
+        lp = q.lastProgress
+        if lp is not None:
+            LAST_DRAIN_PROGRESS.clear()
+            LAST_DRAIN_PROGRESS.update(
+                {
+                    "query": name,
+                    "table": table,
+                    "provider": provider or "hdfs-default",
+                    "stateOperators": lp.get("stateOperators", []),
+                }
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 

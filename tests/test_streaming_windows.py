@@ -192,3 +192,40 @@ def test_interval_join_boundaries(spark, tmp_path):
         spark, src, SW.interval_join_counts, query_name="t_ijoin_bounds"
     )
     assert fmt(streamed) == expected
+
+
+def test_drain_uses_rocksdb_state_store(spark):
+    """The catalog drains default to the RocksDB state-store provider
+    (the 100 TB backend) and surface state metrics for K8: provider
+    custom metrics prove RocksDB was actually active, not just
+    configured."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs, streaming_q
+
+    from .conftest import SF_SMOKE
+
+    # q91 keeps NoTimeout per-user state, so numRowsTotal stays non-zero
+    # on a closed input (dedup/window state is watermark-evicted by end
+    # of stream and would legitimately report 0)
+    df = all_specs()["q91_streaming_stateful_totals"].spark(spark, SF_SMOKE)
+    assert df.count() > 0
+    prog = streaming_q.LAST_DRAIN_PROGRESS
+    assert prog["provider"].endswith("RocksDBStateStoreProvider")
+    ops = prog["stateOperators"]
+    assert ops, "stateful drain must report state operators"
+    assert ops[0]["numRowsTotal"] > 0
+    assert any("rocksdb" in k.lower() for k in ops[0].get("customMetrics", {}))
+    # conf restored: the drain must not leak the provider into the session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
+
+
+def test_drain_state_store_flag_reverts_to_hdfs(spark, monkeypatch):
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs, streaming_q
+
+    from .conftest import SF_SMOKE
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "hdfs")
+    df = all_specs()["q51_streaming_dedup"].spark(spark, SF_SMOKE)
+    assert df.count() > 0
+    assert streaming_q.LAST_DRAIN_PROGRESS["provider"] == "hdfs-default"
