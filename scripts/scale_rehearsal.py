@@ -34,6 +34,71 @@ from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_ta
 SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 
 
+def synthesize_10x(src_dir: str) -> str:
+    """Deterministic 10x documents/embeddings set: replicate sf0.1 with
+    per-replica perturbation (no driver dependency; written under /tmp).
+
+    The growth model is 'the corpus grew 10x with the same duplicate
+    DENSITY', not '10 copies of everything': replica k>0 prefixes every
+    token with r{k} (disjoint vocabulary per replica, so no spurious
+    cross-replica near-dups — within-replica structure is preserved
+    verbatim) and adds seeded N(0, 0.05) noise to embeddings (cluster
+    geometry persists, exact duplicates stop being exact). One-time
+    cost, keyed by source mtime.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd  # noqa: F401 (pyarrow->pandas roundtrip)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(
+        f"{src_dir}:{os.path.getmtime(os.path.join(src_dir, 'documents.parquet'))}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"spark_graft_scale10x_{key}")
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(src_dir, "documents.parquet")).to_pandas()
+    tok = _re.compile(r"[A-Za-z0-9]+")
+    frames = []
+    for k in range(10):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * 10_000_000
+        if k:
+            pre = f"r{k}"
+            d["text"] = d["text"].map(
+                lambda s, p=pre: tok.sub(lambda m: p + m.group(0), s)
+                if isinstance(s, str)
+                else s
+            )
+        frames.append(d)
+    big = pd.concat(frames, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                   os.path.join(out_dir, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet")).to_pandas()
+    mat = np.vstack(emb["embedding"].to_numpy()).astype("float32")
+    eframes = []
+    for k in range(10):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * 10_000_000
+        m = mat if k == 0 else mat + np.random.default_rng(k).normal(
+            0.0, 0.05, mat.shape
+        ).astype("float32")
+        e["embedding"] = list(m)
+        eframes.append(e)
+    bige = pd.concat(eframes, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False),
+                   os.path.join(out_dir, "embeddings.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
 def timed(fn):
     t0 = time.perf_counter()
     out = fn()
@@ -44,9 +109,12 @@ def main() -> None:
     max_df = None
     if "--max-df" in sys.argv:
         max_df = int(sys.argv[sys.argv.index("--max-df") + 1])
+    tiers = list(SFS)
+    if "--with-10x" in sys.argv:
+        tiers.append(("1.0-synth", synthesize_10x(SFS[-1][1])))
     spark = get_spark()
     results: dict[str, dict] = {}
-    for sf, sf_dir in SFS:
+    for sf, sf_dir in tiers:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n_docs = docs.count()
         row: dict = {"n_docs": n_docs}
@@ -114,8 +182,17 @@ def main() -> None:
         from aws_dla_kinesis_delivery_stream_example_spark.operators import clustering
 
         emb = load_table(spark, sf_dir, "embeddings")
+        # at the 10x tier the unvalved threshold-0 pair count (~n^2/k)
+        # would be ~156M rows of count-only output; engage the
+        # documented hot-cluster valve instead — the exponent then
+        # shows the valve flattening the cluster-local quadratic, which
+        # is exactly the 100 TB operating mode
+        sub_blocks = 4 if sf == "1.0-synth" else None
+        row["semdedup_sub_blocks"] = sub_blocks
         n_pairs, row["semdedup_sec"] = timed(
-            lambda: clustering.semantic_near_duplicates(emb, threshold=0.0).count()
+            lambda: clustering.semantic_near_duplicates(
+                emb, threshold=0.0, sub_blocks=sub_blocks
+            ).count()
         )
         row["semdedup_candidates"] = n_pairs
 
@@ -149,7 +226,7 @@ def main() -> None:
         spark.catalog.clearCache()
         print("SCALEJSON " + json.dumps({"sf": sf, **row}), flush=True)
 
-    lo, hi = results[SFS[0][0]], results[SFS[-1][0]]
+    lo, hi = results[tiers[0][0]], results[tiers[-1][0]]
     growth = math.log10(max(hi["n_docs"], 1) / max(lo["n_docs"], 1))
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
     for op in (

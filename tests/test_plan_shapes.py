@@ -113,3 +113,34 @@ def test_grouping_sets_compiles_to_expand(spark):
     plan = plan_of(spark, "q89_grouping_sets")
     assert "Expand" in plan
     assert plan.count("FileScan") == 1  # one pass over orders
+
+
+def test_partitioned_gc_never_deletes_prefix_colliding_sf(spark, tmp_path, monkeypatch):
+    """The materializer's GC must only collect stale copies of ITS OWN
+    sf (exact sanitized name + 12-hex key): a different sf whose
+    sanitized basename shares this one as a prefix (sf0 vs sf0.1 both
+    start with 'sf0') must never be rmtree'd mid-scan."""
+    import os
+    import tempfile as _tf
+
+    from aws_dla_kinesis_delivery_stream_example_spark.sources import partitioned as P
+
+    from .conftest import SF_SMOKE
+
+    tmpdir = _tf.gettempdir()
+    sf_name, _ = P._name_parts(SF_SMOKE)
+    # a prefix-colliding NEIGHBOR sf ('<sf_name>_1') with a live copy,
+    # plus a stale copy of THIS sf (different 12-hex key) that IS fair game
+    neighbor = os.path.join(tmpdir, f"spark_graft_events_by_date_{sf_name}_1_abcdef123456")
+    stale = os.path.join(tmpdir, f"spark_graft_events_by_date_{sf_name}_000000000000")
+    nonhex = os.path.join(tmpdir, f"spark_graft_events_by_date_{sf_name}_notahexkey12")
+    for d in (neighbor, stale, nonhex):
+        os.makedirs(d, exist_ok=True)
+    try:
+        P.materialize_partitioned_events(spark, SF_SMOKE)
+        assert os.path.isdir(neighbor), "prefix-colliding sf was deleted"
+        assert os.path.isdir(nonhex), "non-candidate dir was deleted"
+        assert not os.path.isdir(stale), "stale same-sf copy should be GC'd"
+    finally:
+        for d in (neighbor, nonhex):
+            os.path.isdir(d) and __import__("shutil").rmtree(d, ignore_errors=True)
