@@ -243,9 +243,17 @@ def ivf_learned_topk(
         for cell in order[:n_probe].tolist():
             probe_map.setdefault(int(cell), []).append(qi)
 
-    assigned = assign_with_centroids(
-        candidates, cents, include_vector=True
-    ).withColumnRenamed("id", "vec_id")
+    # The assignment is a full-corpus Python GEMM pass and feeds one
+    # filter PER probed cell: stage it so the pass runs once, not once
+    # per cell (at 100 TB this is the persisted cell-partitioned
+    # assignment table; caller releases via staging.release_staging()).
+    from .staging import stage
+
+    assigned = stage(
+        assign_with_centroids(
+            candidates, cents, include_vector=True
+        ).withColumnRenamed("id", "vec_id")
+    )
     parts = []
     for cell in sorted(probe_map):
         idx = np.array(probe_map[cell])
