@@ -400,34 +400,131 @@ def _manku_band_keys(sig_col) -> list:
     return keys
 
 
-def simhash_band_candidates(usig: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_band_candidates(
+    usig: DataFrame,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = 256,
+    hard_band_bucket: int = 65_536,
+) -> DataFrame:
     """Pre-verification candidate sig pairs from the band join over
     DISTINCT fingerprints. ``max_hamming <= 3`` uses Manku block-triple
     banding (recall-guaranteed, ~32-bit keys); larger radii fall back
-    to the four 16-bit chunks (best-effort, as before)."""
-    if max_hamming <= _MANKU_RADIUS:
-        banded = usig.select(
-            "sig", F.explode(F.array(*_manku_band_keys(F.col("sig")))).alias("bk")
-        ).select("sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    else:
-        banded = usig.select(
-            "sig", F.posexplode("chunks").alias("band", "key")
+    to the four 16-bit chunks (best-effort, as before).
+
+    Hot-bucket valve (``max_band_bucket``, the analog of the jaccard
+    ``max_df`` / tfidf absolute-cap valves): template-correlated corpora
+    concentrate many DISTINCT-but-not-near fingerprints on a few band
+    keys, and each such bucket contributes O(m^2) candidate pairs before
+    the Hamming verify (measured: candidate exponent 1.64 over a 10x
+    corpus growth — SCALE_REHEARSAL_r05.json).  Band buckets larger than
+    the bound are therefore re-joined under a REFINED key: (band key,
+    chunk position, 16-bit chunk value).  Pigeonhole keeps this exact
+    for the radius-3 search — a pair within Hamming distance 3 differs
+    in <= 3 of the four 16-bit chunks, so at least one chunk position
+    matches exactly — while pairs whose differences touch all four
+    chunks (Hamming >= 4, i.e. every false positive the hot buckets
+    mass-produce) never meet.  Recall is unchanged; only the candidate
+    over-generation is cut, so the semantic oracle (all Hamming<=3
+    pairs) still holds.
+
+    The hot-key set is broadcast: its size is bounded by
+    20*|unique sigs|/max_band_bucket, so size the bound to keep that
+    broadcastable at the target corpus (at 10^9 unique sigs the default
+    256 bounds it at ~80M keys — raise the bound accordingly; the valve
+    only needs to engage on the pathological tail).  ``None`` disables
+    the valve (the pre-round-6 behavior).  Worst case — many distinct
+    sigs differing only inside ONE chunk — is irreducible for an exact
+    radius-3 search (those candidates may all be true pairs), so the
+    refined join's budget is the honest floor, not a silent cap.
+
+    ``hard_band_bucket`` completes the budget with a FAIL-FAST (the
+    ``_checked_milliweight`` philosophy: never silently quadratic): a
+    band bucket beyond the hard bound — a degenerate fingerprint crowd,
+    e.g. web-scale boilerplate collapsing onto one sig neighborhood —
+    raises with sizing guidance instead of running an unbounded refined
+    self-join.  With both bounds in force the candidate budget is hard:
+    cold pairs <= 20*n*max_band_bucket/2, refined hot pairs <=
+    (20n/max_band_bucket) * 2*hard_band_bucket^2 — linear in corpus
+    size — and each candidate costs one XOR+POPCNT to verify.  Exact
+    dedup the degenerate sig crowd first (it is, definitionally, a set
+    of exact near-duplicates) or raise the bound deliberately.
+    """
+    if max_hamming > _MANKU_RADIUS:
+        banded = usig.select("sig", F.posexplode("chunks").alias("band", "key"))
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.sig") < F.col("b.sig")),
+            )
+            .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["sig_a", "sig_b"])
         )
-    a, b = banded.alias("a"), banded.alias("b")
+
+    banded = usig.select(
+        "sig", "chunks", F.explode(F.array(*_manku_band_keys(F.col("sig")))).alias("bk")
+    ).select("sig", "chunks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    def _pairs(side: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cond = F.col("a.sig") < F.col("b.sig")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")
+        )
+
+    if max_band_bucket is None:
+        return _pairs(banded.drop("chunks"), ["band", "key"]).dropDuplicates(
+            ["sig_a", "sig_b"]
+        )
+
+    # fail-fast on degenerate crowds lives in the FILTER (a projection
+    # could be pruned by Catalyst; a filter predicate cannot): it is
+    # evaluated while materializing the broadcast hot-key set, so an
+    # over-the-bound bucket stops the job before any refined join runs
+    overflow_msg = F.concat(
+        F.lit(
+            "simhash band bucket exceeds the hard bound "
+            f"({hard_band_bucket}): a degenerate fingerprint crowd would "
+            "make even the chunk-refined join quadratic. Exact-dedup the "
+            "crowd first (those docs share a fingerprint neighborhood) or "
+            "raise hard_band_bucket deliberately; bucket_rows="
+        ),
+        F.col("bucket_rows").cast("string"),
+    )
+    hot_keys = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_rows"))
+        .filter(
+            (F.col("bucket_rows") > max_band_bucket)
+            & F.when(
+                F.col("bucket_rows") > hard_band_bucket,
+                F.raise_error(overflow_msg).isNotNull(),
+            ).otherwise(F.lit(True))
+        )
+        .select("band", "key")
+    )
+    cold = banded.join(F.broadcast(hot_keys), ["band", "key"], "left_anti").drop("chunks")
+    hot = (
+        banded.join(F.broadcast(hot_keys), ["band", "key"], "left_semi")
+        .select("sig", "band", "key", F.posexplode("chunks").alias("cpos", "ckey"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.sig") < F.col("b.sig")),
-        )
-        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        _pairs(cold, ["band", "key"])
+        .unionByName(_pairs(hot, ["band", "key", "cpos", "ckey"]))
         .dropDuplicates(["sig_a", "sig_b"])
     )
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = 256,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a band key (Manku
     block-triple banding for the standard radius-3 search, 16-bit
@@ -440,11 +537,14 @@ def simhash_near_duplicates(
     doc-pair blow-up *before* verification. Banding unique sigs caps
     the join at unique-fingerprint cardinality; doc multiplicity
     re-attaches after the (tiny) verified sig-pair set.
+    ``max_band_bucket`` is the hot-bucket valve for DISTINCT-sig
+    crowding (recall-preserving chunk refinement — see
+    :func:`simhash_band_candidates`).
     """
     sig = stage(simhash_signatures(df, id_col, text_col))
     usig = sig.select("sig", "chunks").distinct()
     spair = (
-        simhash_band_candidates(usig, max_hamming)
+        simhash_band_candidates(usig, max_hamming, max_band_bucket)
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )

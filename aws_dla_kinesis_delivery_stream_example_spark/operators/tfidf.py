@@ -61,21 +61,47 @@ def _checked_milliweight(w_m):
     ).otherwise(w_m)
 
 
+# Absolute ceiling on the RELATIVE (max_df_frac) cap: the join hazard
+# is O(df^2) pairs per token, so any cap that grows linearly with the
+# corpus admits quadratic total work — the failure mode the round-5
+# rehearsal measured at exponent 2.81 / 331 s / 125M pairs for just
+# 50k docs (SCALE_REHEARSAL_r05.json, tfidf frac mode). Clamping the
+# relative term at an absolute bound makes the cap constant once the
+# corpus outgrows ceiling/frac docs: per-token fan-out is then at most
+# C(ceiling, 2) pairs (~0.5M at the default 1000) regardless of N.
+_MAX_DF_CEILING = 1_000
+
+
 def tfidf_postings(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     max_df: int | None = None,
     max_df_frac: float | None = None,
+    max_df_ceiling: int | None = _MAX_DF_CEILING,
 ) -> DataFrame:
     """(doc, tok, w) postings with smoothed-idf weights on the 6-dp
-    grid. The hot-token cap is ``greatest(max_df, n_docs *
-    max_df_frac)`` — an absolute floor plus a corpus-relative term, so
-    the same query is meaningful at any scale factor (a fixed absolute
-    cap silently empties the vocabulary once df grows with the
-    corpus). At true 100 TB scale set ``max_df_frac=None`` and cap
-    absolutely: the join hazard is O(df^2) pairs per token, and a
-    *relative* cap lets that grow quadratically with the corpus."""
+    grid.
+
+    The hot-token cap is ``greatest(max_df, least(n_docs *
+    max_df_frac, max_df_ceiling))`` — an absolute floor so a tiny
+    corpus keeps its vocabulary, a corpus-relative term so the same
+    query stays meaningful across scale factors, and an absolute
+    CEILING on the relative term so the cap stops growing with the
+    corpus (O(df^2) pairs per token is the operator's one quadratic
+    hazard; an unbounded relative cap reintroduces it — measured at
+    exponent 2.81 in SCALE_REHEARSAL_r05.json). ``max_df_frac``
+    therefore REQUIRES ``max_df``: the quadratic frac-only mode is
+    unreachable through this signature. ``max_df_ceiling=None``
+    removes the clamp (legacy/oracle-parity escape hatch — do not use
+    at scale)."""
+    if max_df_frac is not None and max_df is None:
+        raise ValueError(
+            "max_df_frac requires max_df: a purely relative cap scales "
+            "per-token join fan-out quadratically with the corpus "
+            "(measured exponent 2.81 — see SCALE.md). Pass an absolute "
+            "max_df floor alongside the fraction."
+        )
     toks = (
         docs.select(F.col(id_col).alias("doc"), F.explode(TX.words(text_col)).alias("tok"))
         .groupBy("doc", "tok")
@@ -83,13 +109,13 @@ def tfidf_postings(
     )
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    if max_df is not None or max_df_frac is not None:
-        caps = []
-        if max_df is not None:
-            caps.append(F.lit(float(max_df)))
+    if max_df is not None:
+        cap = F.lit(float(max_df))
         if max_df_frac is not None:
-            caps.append(F.col("n_docs") * float(max_df_frac))
-        cap = caps[0] if len(caps) == 1 else F.greatest(*caps)
+            rel = F.col("n_docs") * float(max_df_frac)
+            if max_df_ceiling is not None:
+                rel = F.least(rel, F.lit(float(max_df_ceiling)))
+            cap = F.greatest(cap, rel)
         dfreq = (
             dfreq.crossJoin(F.broadcast(n_docs))
             .filter(F.col("df").cast("double") <= cap)
@@ -117,6 +143,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     max_df_frac: float | None = None,
+    max_df_ceiling: int | None = _MAX_DF_CEILING,
 ) -> DataFrame:
     """All doc pairs sharing >= 1 (surviving) term, with TF-IDF cosine
     >= ``threshold``. Returns (doc_a, doc_b, cos_sim) with doc_a <
@@ -136,7 +163,14 @@ def tfidf_cosine_pairs(
     join sides); after the terminal action on the returned frame, call
     ``staging.release_staging()`` to drop it (bench/rehearsal do)."""
     w = stage(
-        tfidf_postings(docs, id_col, text_col, max_df=max_df, max_df_frac=max_df_frac)
+        tfidf_postings(
+            docs,
+            id_col,
+            text_col,
+            max_df=max_df,
+            max_df_frac=max_df_frac,
+            max_df_ceiling=max_df_ceiling,
+        )
         .withColumn(
             "w_m",
             _checked_milliweight(F.round(F.col("w") * 1000, 0).cast("long")),

@@ -231,6 +231,7 @@ def q80_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_MAX_DF = 50
 _TFIDF_MAX_DF_FRAC = 0.1
+_TFIDF_MAX_DF_CEILING = 1000
 _TFIDF_THRESHOLD = 0.3
 
 
@@ -251,7 +252,8 @@ _TFIDF_THRESHOLD = 0.3
             SELECT tok, count(*) AS df FROM toks GROUP BY tok
             HAVING count(*) <= greatest(
                 {_TFIDF_MAX_DF},
-                (SELECT count(*) FROM documents) * {_TFIDF_MAX_DF_FRAC}
+                least((SELECT count(*) FROM documents) * {_TFIDF_MAX_DF_FRAC},
+                      {_TFIDF_MAX_DF_CEILING})
             )
         ),
         w AS (
@@ -280,9 +282,10 @@ _TFIDF_THRESHOLD = 0.3
     """,
     description="Sparse TF-IDF cosine near-dup pairs via inverted-index "
     "self-join on token (pairs form only where a term is shared; hot "
-    f"tokens over greatest({_TFIDF_MAX_DF}, {_TFIDF_MAX_DF_FRAC} * "
-    "n_docs) are pruned before the join — principled for TF-IDF since "
-    "high-df terms carry ~zero idf weight)",
+    f"tokens over greatest({_TFIDF_MAX_DF}, least({_TFIDF_MAX_DF_FRAC}"
+    f" * n_docs, {_TFIDF_MAX_DF_CEILING})) are pruned before the join "
+    "— principled for TF-IDF since high-df terms carry ~zero idf "
+    "weight; the ceiling keeps per-token fan-out absolutely bounded)",
     tags=("llm", "dedup", "similarity"),
 )
 def q81_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +300,7 @@ def q81_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=_TFIDF_THRESHOLD,
             max_df=_TFIDF_MAX_DF,
             max_df_frac=_TFIDF_MAX_DF_FRAC,
+            max_df_ceiling=_TFIDF_MAX_DF_CEILING,
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -693,7 +693,16 @@ def q45_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit keys: 15 hex chars parse into int64 exactly in BOTH
     engines (16 would overflow the signed cast); collision odds at
-    2^60 remain ~1e-5 for a billion docs — the exact-dup-key use."""
+    2^60 remain ~1e-5 for a billion docs — the exact-dup-key use.
+
+    NON-ADVERSARIAL-INPUT ASSUMPTION: md5 collisions are trivially
+    constructible, so an adversarial corpus can forge two distinct
+    documents with equal fingerprints and have one silently deduped.
+    The collision math above is for RANDOM content only. This spec is
+    the ORACLE-PORTABLE catalog variant (DuckDB computes bit-identical
+    md5); a production dedup pipeline facing untrusted input should
+    key on sha256 (q58 shows the pattern: `lower(sha256(text))`, also
+    DuckDB-portable) or a keyed hash, at the cost of a wider join key."""
     docs = load_table(spark, sf_dir, "documents")
     fp = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     return docs.select(

@@ -81,6 +81,18 @@ def _stream_table_closed(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     provider = _state_store_conf()
+    # Reset observability UP FRONT: a drain that ends without a
+    # progress report must not leave the previous drain's state metrics
+    # attributed to this one.
+    LAST_DRAIN_PROGRESS.clear()
+    LAST_DRAIN_PROGRESS.update(
+        {
+            "query": name,
+            "table": table,
+            "provider": provider or "hdfs-default",
+            "stateOperators": [],
+        }
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -109,15 +121,7 @@ def _stream_table_closed(
         # active) for the stateful stage(s) of this drain.
         lp = q.lastProgress
         if lp is not None:
-            LAST_DRAIN_PROGRESS.clear()
-            LAST_DRAIN_PROGRESS.update(
-                {
-                    "query": name,
-                    "table": table,
-                    "provider": provider or "hdfs-default",
-                    "stateOperators": lp.get("stateOperators", []),
-                }
-            )
+            LAST_DRAIN_PROGRESS["stateOperators"] = lp.get("stateOperators", [])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if provider is not None:

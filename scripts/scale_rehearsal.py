@@ -134,16 +134,31 @@ def main() -> None:
         row["minhash_candidates"] = cand
 
         # SimHash: candidates = PRE-verification band-collision sig
-        # pairs at the production radius (Manku block-triple banding)
+        # pairs at the production radius (Manku block-triple banding,
+        # round-6 hot-bucket valve at its defaults). Also decompose the
+        # candidate set: how many pass the Hamming<=3 verify (the rest
+        # cost one XOR+POPCNT each), and how crowded the worst band
+        # bucket is (the valve's trigger signal).
+        from pyspark.sql import functions as _F
+
         usig = (
             dedup.simhash_signatures(docs, "doc_id", "text")
             .select("sig", "chunks")
             .distinct()
         )
-        cand, row["simhash_sec"] = timed(
-            lambda: dedup.simhash_band_candidates(usig, max_hamming=3).count()
-        )
+        cand_df = dedup.simhash_band_candidates(usig, max_hamming=3)
+        cand, row["simhash_sec"] = timed(cand_df.count)
         row["simhash_candidates"] = cand
+        row["simhash_true_pairs"] = cand_df.filter(
+            _F.bit_count(_F.col("sig_a").bitwiseXOR(_F.col("sig_b"))) <= 3
+        ).count()
+        banded = usig.select(
+            "sig",
+            _F.explode(_F.array(*dedup._manku_band_keys(_F.col("sig")))).alias("bk"),
+        )
+        row["simhash_max_bucket"] = (
+            banded.groupBy("bk").count().agg(_F.max("count")).collect()[0][0]
+        )
 
         # clusters over the q49-style pair set
         pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=max_df)

@@ -167,6 +167,65 @@ def test_simhash_exact_dups_zero_hamming(spark, planted_docs):
         assert pairs.get((i, i + 200000)) == 0  # identical text => identical simhash
 
 
+def test_simhash_bucket_valve_preserves_exact_pair_set(spark, planted_docs):
+    """The hot-bucket chunk refinement is recall-preserving: forcing the
+    valve onto EVERY bucket (bound 1) must yield the identical verified
+    pair set as the unvalved join."""
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(
+            planted_docs, "doc_id", "text", max_band_bucket=None
+        ).collect()
+    }
+    valved = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(
+            planted_docs, "doc_id", "text", max_band_bucket=1
+        ).collect()
+    }
+    assert base == valved and len(base) > 0
+
+
+def _crowd_usig(spark, n):
+    # n distinct sigs sharing every band triple that avoids the low
+    # blocks: differences confined to bits 0..5 (inside Manku block 0),
+    # so the (1,2,3)/(3,4,5)/... triples all collide
+    rows = []
+    base = 0x0123_4567_89AB_0000
+    for i in range(n):
+        sig = base | i
+        chunks = [(sig >> (16 * c)) & 0xFFFF for c in range(4)]
+        rows.append((sig, chunks))
+    return spark.createDataFrame(rows, "sig long, chunks array<int>")
+
+
+def test_simhash_hard_bucket_bound_fails_fast(spark):
+    """A degenerate fingerprint crowd past hard_band_bucket must raise
+    with sizing guidance, not run an unbounded refined join; under the
+    hard bound the refined join still returns the exact candidates."""
+    import pytest
+
+    usig = _crowd_usig(spark, 40)
+    with pytest.raises(Exception, match="hard bound"):
+        dedup.simhash_band_candidates(
+            usig, max_band_bucket=8, hard_band_bucket=16
+        ).count()
+    # same crowd under the hard bound: refinement engages, exactness holds
+    unvalved = {
+        (r.sig_a, r.sig_b)
+        for r in dedup.simhash_band_candidates(usig, max_band_bucket=None).collect()
+    }
+    refined = {
+        (r.sig_a, r.sig_b)
+        for r in dedup.simhash_band_candidates(
+            usig, max_band_bucket=8, hard_band_bucket=1000
+        ).collect()
+    }
+    # all differences are inside one 16-bit chunk => the chunk-refined
+    # join keeps every pair (they share the other three chunks)
+    assert refined == unvalved and len(refined) == 40 * 39 // 2
+
+
 def test_ivf_topk_is_subset_of_bruteforce_space(spark):
     """IVF results must be genuine cosine scores: every (q,candidate)
     pair returned by IVF appears in the brute-force scoring with the

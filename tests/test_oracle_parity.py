@@ -12,7 +12,6 @@ from .oracle_utils import compare
 
 SPECS = all_specs()
 WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle is not None)
-ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -23,12 +22,12 @@ def test_oracle_match(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    spec = SPECS[name]
-    df = spec.spark(spark, SF_SMOKE)
-    assert df.count() >= 0  # runs and has a stable schema
-    assert len(df.columns) > 0
+def test_every_query_has_a_full_hash_oracle():
+    """Round 5 eliminated the last rows-only queries; a regression that
+    reintroduces ``oracle=None`` must FAIL here, not silently downgrade
+    a query to the driver's weaker rows-only check."""
+    rows_only = sorted(n for n, s in SPECS.items() if s.oracle is None)
+    assert rows_only == [], f"queries downgraded to rows-only: {rows_only}"
 
 
 def test_entry_contract(spark):

@@ -64,6 +64,40 @@ def test_relative_cap_floor(spark):
     assert toks.filter("tok = 'alpha'").count() == 3  # df=3 <= 50 floor
 
 
+def test_frac_only_cap_is_rejected(spark):
+    # The purely relative cap is the measured-quadratic footgun
+    # (SCALE_REHEARSAL_r05: exponent 2.81); it must be unreachable
+    # through the public signature.
+    import pytest as _pytest
+
+    docs = _docs(spark, [(1, "alpha beta")])
+    with _pytest.raises(ValueError, match="max_df_frac requires max_df"):
+        tfidf_postings(docs, "doc_id", "text", max_df_frac=0.1)
+    with _pytest.raises(ValueError, match="max_df_frac requires max_df"):
+        tfidf_cosine_pairs(docs, "doc_id", "text", max_df_frac=0.1)
+
+
+def test_relative_cap_ceiling_clamps(spark):
+    # 30 docs all sharing "alpha" (df=30). frac=1.0 alone would keep it
+    # (rel cap 30); the ceiling clamps the relative term to 10, and the
+    # floor (2) stays below that, so the hot token is pruned. A rarer
+    # token (df=2) survives via the floor.
+    docs = _docs(
+        spark,
+        [(i, "alpha" + (" rare" if i < 2 else "")) for i in range(30)],
+    )
+    toks = tfidf_postings(
+        docs, "doc_id", "text", max_df=2, max_df_frac=1.0, max_df_ceiling=10
+    )
+    surviving = {r["tok"] for r in toks.collect()}
+    assert surviving == {"rare"}
+    # ceiling=None restores the unbounded relative mode (escape hatch)
+    toks = tfidf_postings(
+        docs, "doc_id", "text", max_df=2, max_df_frac=1.0, max_df_ceiling=None
+    )
+    assert {r["tok"] for r in toks.collect()} == {"alpha", "rare"}
+
+
 def test_weights_are_on_6dp_grid(spark):
     docs = _docs(spark, [(1, "a a b"), (2, "b c")])
     ws = [r["w"] for r in tfidf_postings(docs, "doc_id", "text").collect()]
@@ -112,6 +146,28 @@ def test_staging_released_after_sweep(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
     assert release_staging(blocking=True) >= 2
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_staging_registry_is_thread_scoped(spark):
+    """release_staging() on one thread must not drop frames another
+    thread staged (the interleaved-queries hazard): each submitting
+    thread owns a private registry."""
+    import threading
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+        stage,
+    )
+
+    df = spark.range(10)
+    stage(df)
+    other_released = []
+    t = threading.Thread(target=lambda: other_released.append(release_staging()))
+    t.start()
+    t.join()
+    assert other_released == [0]  # the other thread sees nothing to drop
+    assert df.storageLevel.useMemory  # ours is still persisted
+    assert release_staging(blocking=True) == 1  # and we can drop it
 
 
 def test_milliweight_overflow_guard(spark):
