@@ -137,7 +137,14 @@ def ivf_topk(
     boundary lands in a neighboring bucket, and the 1-bit-flip probes
     recover it for ~``n_bits``x more scanned candidates (still a
     2**n_bits-fold reduction vs brute force at 100 TB, and each probe
-    stays a partition-prunable bucket filter)."""
+    stays a partition-prunable bucket filter).
+
+    Recall contract (geometry-dependent — sign buckets key on the
+    signs of the first ``n_bits`` dims): on the planted-blob property
+    geometry, ``hamming_probes=0`` measured 0.87-1.0 recall@5 vs brute
+    force across seeds and ``hamming_probes=1`` recovered 1.0 on all
+    of them; the >= 0.9 floor at 1 probe is pinned by
+    tests/test_clustering.py::test_ivf_signbucket_multiprobe_recall."""
     qp = _collect_queries(queries, "ivf_topk")
     if len(qp) == 0:
         return _empty_topk(candidates.sparkSession)

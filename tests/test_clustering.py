@@ -268,3 +268,53 @@ def test_ivf_learned_recall_on_planted_geometry(spark):
     got = {(r.q_id, r.vec_id) for r in approx.collect()}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_ivf_signbucket_multiprobe_recall(spark):
+    """The sign-bucket IVF's recall contract at hamming_probes=1
+    (mirrors the learned-IVF test above): >= 0.9 of the brute-force
+    top-5 on the planted blob geometry, and the 1-bit-flip probes must
+    not lose anything the own-bucket probe found. The floor is
+    geometry-dependent — sign buckets key on the SIGNS of the first
+    n_bits dims, so a blob center coordinate near zero pushes members
+    across a boundary; measured on seeds 7/11/23: probes=0 gives
+    1.0/0.93/0.87 (boundary-crossers lost), probes=1 recovers all
+    three to 1.0. Seed 23 is pinned as the adversarial one."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    dim, per, kblobs = 16, 50, 8
+    centers = rng.normal(size=(kblobs, dim)) * 10.0
+    vecs = np.concatenate(
+        [centers[i] + rng.normal(scale=1.0, size=(per, dim)) for i in range(kblobs)]
+    )
+    cand = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q_vecs = vecs[::57][:6] + rng.normal(scale=0.5, size=(6, dim))
+    queries = spark.createDataFrame(
+        [(int(1000 + i), [float(x) for x in q_vecs[i]]) for i in range(len(q_vecs))],
+        "q_id long, q_emb array<double>",
+    )
+    want = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(cand, queries, k=5).collect()
+    }
+    own = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            cand, queries, k=5, n_bits=3, hamming_probes=0
+        ).collect()
+    }
+    multi = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            cand, queries, k=5, n_bits=3, hamming_probes=1
+        ).collect()
+    }
+    recall = len(want & multi) / len(want)
+    assert recall >= 0.9, f"multi-probe recall@5 = {recall}"
+    assert len(want & multi) >= len(want & own), "multi-probe lost recall"
