@@ -141,6 +141,12 @@ def main() -> None:
                 "delivery_rec_per_s": tps,
                 "repeats": REPEATS,
                 "agg": "min",
+                # A/B label for the q34/q40/q46 drift investigation:
+                # which state-store provider the streaming drains used
+                # (rocksdb loads a native lib into the shared JVM)
+                "state_store": os.environ.get(
+                    "SPARK_GRAFT_STATE_STORE", "rocksdb"
+                ).lower(),
                 "sweep_wall_sec": wall,
                 "n_queries_ok": len(ok),
                 "query_errors": errs,
