@@ -525,6 +525,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     max_band_bucket: int | None = 256,
+    hard_band_bucket: int = 65_536,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a band key (Manku
     block-triple banding for the standard radius-3 search, 16-bit
@@ -544,7 +545,7 @@ def simhash_near_duplicates(
     sig = stage(simhash_signatures(df, id_col, text_col))
     usig = sig.select("sig", "chunks").distinct()
     spair = (
-        simhash_band_candidates(usig, max_hamming, max_band_bucket)
+        simhash_band_candidates(usig, max_hamming, max_band_bucket, hard_band_bucket)
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -109,8 +109,19 @@ def main() -> None:
         import pyarrow.parquet as _pq
 
         ev_path = os.path.join(sf_dir, "events.parquet")
+        # ADVICE r05: the alias->catalog map must live in the artifact
+        # itself, not only in README prose — record every exposed name
+        # that differs from its catalog name.
+        from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+        alias_map = {}
+        exposed = getattr(mod, "_exposed_name", lambda n: n)
+        for cat_name in all_specs():
+            if exposed(cat_name) != cat_name:
+                alias_map[exposed(cat_name)] = cat_name
         report["_meta"] = {
             "sf_dir": sf_dir,
+            "alias_to_catalog": alias_map,
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "events_mtime": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(ev_path))
