@@ -186,6 +186,52 @@ def test_simhash_bucket_valve_preserves_exact_pair_set(spark, planted_docs):
     assert base == valved and len(base) > 0
 
 
+def test_simhash_valve_equivalence_on_random_sigs(spark):
+    """Hypothesis-style randomized check of the recall-preservation
+    claim: for random fingerprint populations (mix of uniform sigs,
+    near-dup perturbations, and band-colliding crowds), the valved
+    candidate set joined with Hamming verification equals the unvalved
+    one — across several seeds and bounds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        sigs = set()
+        while len(sigs) < 120:
+            base = rng.getrandbits(63)
+            sigs.add(base)
+            # near-dups at hamming 1-4 off the base
+            for _ in range(rng.randrange(3)):
+                flip = base
+                for _ in range(rng.randrange(1, 5)):
+                    flip ^= 1 << rng.randrange(64)
+                sigs.add(flip)
+            # a band-colliding crowd: same high bits, varying low bits
+            if rng.random() < 0.3:
+                for i in range(rng.randrange(8)):
+                    sigs.add((base & ~0xFFF) | rng.getrandbits(12))
+        rows = [
+            (s if s < (1 << 63) else s - (1 << 64),
+             [(s >> (16 * c)) & 0xFFFF for c in range(4)])
+            for s in sigs
+        ]
+        usig = spark.createDataFrame(rows, "sig long, chunks array<int>")
+
+        def verified(bound):
+            return {
+                (r.sig_a, r.sig_b)
+                for r in dedup.simhash_band_candidates(usig, 3, bound)
+                .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3)
+                .collect()
+            }
+
+        base_pairs = verified(None)
+        for bound in (4, 64):
+            assert verified(bound) == base_pairs, f"seed={seed} bound={bound}"
+
+
 def _crowd_usig(spark, n):
     # n distinct sigs sharing every band triple that avoids the low
     # blocks: differences confined to bits 0..5 (inside Manku block 0),

@@ -98,6 +98,37 @@ def test_relative_cap_ceiling_clamps(spark):
     assert {r["tok"] for r in toks.collect()} == {"alpha", "rare"}
 
 
+def test_cap_composition_boundaries(spark):
+    # The effective cap is greatest(floor, least(frac*N, ceiling)).
+    # Build a 20-doc corpus with tokens at df = 3, 6, 12 and walk the
+    # three regimes: floor-dominated, frac-dominated, ceiling-clamped.
+    rows = []
+    for i in range(20):
+        toks = ["common"] if i < 12 else ["filler%d" % i]
+        if i < 6:
+            toks.append("mid")
+        if i < 3:
+            toks.append("rare")
+        rows.append((i, " ".join(toks)))
+    docs = _docs(spark, rows)
+
+    def surviving(**kw):
+        return {
+            r["tok"]
+            for r in tfidf_postings(docs, "doc_id", "text", **kw).collect()
+        }
+
+    # floor-dominated: greatest(5, least(0.05*20=1, 100)) = 5 -> df<=5
+    assert "rare" in surviving(max_df=5, max_df_frac=0.05, max_df_ceiling=100)
+    assert "mid" not in surviving(max_df=5, max_df_frac=0.05, max_df_ceiling=100)
+    # frac-dominated: greatest(2, least(0.35*20=7, 100)) = 7 -> df<=7
+    s = surviving(max_df=2, max_df_frac=0.35, max_df_ceiling=100)
+    assert "mid" in s and "common" not in s
+    # ceiling-clamped: greatest(2, least(1.0*20=20, 7)) = 7 -> df<=7
+    s = surviving(max_df=2, max_df_frac=1.0, max_df_ceiling=7)
+    assert "mid" in s and "common" not in s
+
+
 def test_weights_are_on_6dp_grid(spark):
     docs = _docs(spark, [(1, "a a b"), (2, "b c")])
     ws = [r["w"] for r in tfidf_postings(docs, "doc_id", "text").collect()]
