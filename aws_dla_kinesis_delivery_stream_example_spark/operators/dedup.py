@@ -404,7 +404,7 @@ def simhash_band_candidates(
     usig: DataFrame,
     max_hamming: int = 3,
     max_band_bucket: int | None = 256,
-    hard_band_bucket: int = 65_536,
+    hard_band_bucket: int | None = 65_536,
 ) -> DataFrame:
     """Pre-verification candidate sig pairs from the band join over
     DISTINCT fingerprints. ``max_hamming <= 3`` uses Manku block-triple
@@ -432,7 +432,8 @@ def simhash_band_candidates(
     broadcastable at the target corpus (at 10^9 unique sigs the default
     256 bounds it at ~80M keys — raise the bound accordingly; the valve
     only needs to engage on the pathological tail).  ``None`` disables
-    the valve (the pre-round-6 behavior).  Worst case — many distinct
+    the refinement (candidate generation as before the valve existed;
+    the hard fail-fast below still applies).  Worst case — many distinct
     sigs differing only inside ONE chunk — is irreducible for an exact
     radius-3 search (those candidates may all be true pairs), so the
     refined join's budget is the honest floor, not a silent cap.
@@ -442,30 +443,65 @@ def simhash_band_candidates(
     band bucket beyond the hard bound — a degenerate fingerprint crowd,
     e.g. web-scale boilerplate collapsing onto one sig neighborhood —
     raises with sizing guidance instead of running an unbounded refined
-    self-join.  With both bounds in force the candidate budget is hard:
-    cold pairs <= 20*n*max_band_bucket/2, refined hot pairs <=
-    (20n/max_band_bucket) * 2*hard_band_bucket^2 — linear in corpus
-    size — and each candidate costs one XOR+POPCNT to verify.  Exact
-    dedup the degenerate sig crowd first (it is, definitionally, a set
-    of exact near-duplicates) or raise the bound deliberately.
+    self-join.  The fail-fast is INDEPENDENT of the refinement valve:
+    it also guards the ``max_band_bucket=None`` escape hatch and the
+    ``max_hamming > 3`` chunk-banding fallback (whose candidate growth
+    is the worst of the three paths), so no configuration of this
+    function runs a silently-quadratic join; only ``hard_band_bucket=
+    None`` removes the net, explicitly.  With both bounds in force the
+    candidate budget is hard: cold pairs <= 20*n*max_band_bucket/2,
+    refined hot pairs <= (20n/max_band_bucket) * 2*hard_band_bucket^2 —
+    linear in corpus size — and each candidate costs one XOR+POPCNT to
+    verify.  Exact-dedup the degenerate sig crowd first (it is,
+    definitionally, a set of exact near-duplicates) or raise the bound
+    deliberately.
     """
-    if max_hamming > _MANKU_RADIUS:
-        banded = usig.select("sig", F.posexplode("chunks").alias("band", "key"))
-        a, b = banded.alias("a"), banded.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.sig") < F.col("b.sig")),
-            )
-            .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["sig_a", "sig_b"])
+
+    if (
+        max_band_bucket is not None
+        and hard_band_bucket is not None
+        and hard_band_bucket < max_band_bucket
+    ):
+        raise ValueError(
+            "hard_band_bucket must be >= max_band_bucket: a hard bound "
+            "below the refinement bound would let buckets in "
+            f"({hard_band_bucket}, {max_band_bucket}] bypass the "
+            "fail-fast through the valve filter's short-circuit"
         )
 
-    banded = usig.select(
-        "sig", "chunks", F.explode(F.array(*_manku_band_keys(F.col("sig")))).alias("bk")
-    ).select("sig", "chunks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    def _overflow_msg() -> object:
+        return F.concat(
+            F.lit(
+                "simhash band bucket exceeds the hard bound "
+                f"({hard_band_bucket}): a degenerate fingerprint crowd "
+                "would make even the chunk-refined join quadratic. "
+                "Exact-dedup the crowd first (those docs share a "
+                "fingerprint neighborhood) or raise hard_band_bucket "
+                "deliberately; bucket_rows="
+            ),
+            F.col("bucket_rows").cast("string"),
+        )
+
+    def _hard_guarded(frame: DataFrame, keys: list[str]) -> DataFrame:
+        """Attach the fail-fast to paths without the hot/cold split: an
+        anti join against a tripwire aggregate that is empty when every
+        bucket is under the hard bound and RAISES while being built
+        otherwise (the raise lives in a filter predicate — a projection
+        could be pruned by Catalyst; a filter cannot)."""
+        if hard_band_bucket is None:
+            return frame
+        tripwire = (
+            frame.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("bucket_rows"))
+            .filter(
+                F.when(
+                    F.col("bucket_rows") > hard_band_bucket,
+                    F.raise_error(_overflow_msg()).isNotNull(),
+                ).otherwise(F.lit(False))
+            )
+            .select(*keys)
+        )
+        return frame.join(F.broadcast(tripwire), keys, "left_anti")
 
     def _pairs(side: DataFrame, keys: list[str]) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")
@@ -476,35 +512,36 @@ def simhash_band_candidates(
             F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")
         )
 
-    if max_band_bucket is None:
-        return _pairs(banded.drop("chunks"), ["band", "key"]).dropDuplicates(
+    if max_hamming > _MANKU_RADIUS:
+        banded = usig.select("sig", F.posexplode("chunks").alias("band", "key"))
+        return _pairs(_hard_guarded(banded, ["band", "key"]), ["band", "key"]).dropDuplicates(
             ["sig_a", "sig_b"]
         )
 
-    # fail-fast on degenerate crowds lives in the FILTER (a projection
-    # could be pruned by Catalyst; a filter predicate cannot): it is
+    banded = usig.select(
+        "sig", "chunks", F.explode(F.array(*_manku_band_keys(F.col("sig")))).alias("bk")
+    ).select("sig", "chunks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_band_bucket is None:
+        return _pairs(
+            _hard_guarded(banded.drop("chunks"), ["band", "key"]), ["band", "key"]
+        ).dropDuplicates(["sig_a", "sig_b"])
+
+    # valved path: the fail-fast shares the hot-key aggregation — it is
     # evaluated while materializing the broadcast hot-key set, so an
     # over-the-bound bucket stops the job before any refined join runs
-    overflow_msg = F.concat(
-        F.lit(
-            "simhash band bucket exceeds the hard bound "
-            f"({hard_band_bucket}): a degenerate fingerprint crowd would "
-            "make even the chunk-refined join quadratic. Exact-dedup the "
-            "crowd first (those docs share a fingerprint neighborhood) or "
-            "raise hard_band_bucket deliberately; bucket_rows="
-        ),
-        F.col("bucket_rows").cast("string"),
+    hard_check = (
+        F.when(
+            F.col("bucket_rows") > hard_band_bucket,
+            F.raise_error(_overflow_msg()).isNotNull(),
+        ).otherwise(F.lit(True))
+        if hard_band_bucket is not None
+        else F.lit(True)
     )
     hot_keys = (
         banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("bucket_rows"))
-        .filter(
-            (F.col("bucket_rows") > max_band_bucket)
-            & F.when(
-                F.col("bucket_rows") > hard_band_bucket,
-                F.raise_error(overflow_msg).isNotNull(),
-            ).otherwise(F.lit(True))
-        )
+        .filter((F.col("bucket_rows") > max_band_bucket) & hard_check)
         .select("band", "key")
     )
     cold = banded.join(F.broadcast(hot_keys), ["band", "key"], "left_anti").drop("chunks")
@@ -543,6 +580,12 @@ def simhash_near_duplicates(
     :func:`simhash_band_candidates`).
     """
     sig = stage(simhash_signatures(df, id_col, text_col))
+    # usig feeds up to five scans inside the candidate generator, and
+    # recomputing the distinct from the staged `sig` per scan looks
+    # wasteful — but staging usig too was MEASURED WORSE (2.2 s -> 5.9 s
+    # at sf0.1): the InMemoryRelation hides the size statistics that let
+    # Catalyst broadcast the band self-joins, trading a cheap re-shuffle
+    # of cached rows for sort-merge joins. Leave the distinct lazy.
     usig = sig.select("sig", "chunks").distinct()
     spair = (
         simhash_band_candidates(usig, max_hamming, max_band_bucket, hard_band_bucket)

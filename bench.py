@@ -116,6 +116,14 @@ def bench_delivery(spark, n_records: int = 100_000) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _state_store_label() -> str:
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.streaming_q import (
+        _state_store_conf,
+    )
+
+    return "hdfs" if _state_store_conf() is None else "rocksdb"
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     t_all0 = time.perf_counter()
@@ -143,10 +151,10 @@ def main() -> None:
                 "agg": "min",
                 # A/B label for the q34/q40/q46 drift investigation:
                 # which state-store provider the streaming drains used
-                # (rocksdb loads a native lib into the shared JVM)
-                "state_store": os.environ.get(
-                    "SPARK_GRAFT_STATE_STORE", "rocksdb"
-                ).lower(),
+                # (rocksdb loads a native lib into the shared JVM).
+                # Derived from the SAME resolver the drains use, so the
+                # label cannot disagree with the provider actually run.
+                "state_store": _state_store_label(),
                 "sweep_wall_sec": wall,
                 "n_queries_ok": len(ok),
                 "query_errors": errs,

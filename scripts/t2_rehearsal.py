@@ -114,11 +114,13 @@ def main() -> None:
         # that differs from its catalog name.
         from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
+        # direct attribute access: if the entry module ever renames the
+        # helper this FAILS (caught below, recorded in _meta.err) rather
+        # than silently writing an empty alias map
         alias_map = {}
-        exposed = getattr(mod, "_exposed_name", lambda n: n)
         for cat_name in all_specs():
-            if exposed(cat_name) != cat_name:
-                alias_map[exposed(cat_name)] = cat_name
+            if mod._exposed_name(cat_name) != cat_name:
+                alias_map[mod._exposed_name(cat_name)] = cat_name
         report["_meta"] = {
             "sf_dir": sf_dir,
             "alias_to_catalog": alias_map,

@@ -256,6 +256,26 @@ def test_simhash_hard_bucket_bound_fails_fast(spark):
         dedup.simhash_band_candidates(
             usig, max_band_bucket=8, hard_band_bucket=16
         ).count()
+    # the fail-fast is independent of the refinement valve: it guards
+    # the escape hatch and the >radius-3 fallback too
+    with pytest.raises(Exception, match="hard bound"):
+        dedup.simhash_band_candidates(
+            usig, max_band_bucket=None, hard_band_bucket=16
+        ).count()
+    with pytest.raises(Exception, match="hard bound"):
+        dedup.simhash_band_candidates(
+            usig, max_hamming=5, hard_band_bucket=16
+        ).count()
+    # hard_band_bucket=None removes the net explicitly; and a hard bound
+    # below the refinement bound is a config error, not a silent bypass
+    assert (
+        dedup.simhash_band_candidates(
+            usig, max_band_bucket=None, hard_band_bucket=None
+        ).count()
+        > 0
+    )
+    with pytest.raises(ValueError, match="hard_band_bucket must be >="):
+        dedup.simhash_band_candidates(usig, max_band_bucket=64, hard_band_bucket=8)
     # same crowd under the hard bound: refinement engages, exactness holds
     unvalved = {
         (r.sig_a, r.sig_b)
