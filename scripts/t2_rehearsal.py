@@ -114,13 +114,15 @@ def main() -> None:
         # that differs from its catalog name.
         from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
-        # direct attribute access: if the entry module ever renames the
-        # helper this FAILS (caught below, recorded in _meta.err) rather
-        # than silently writing an empty alias map
-        alias_map = {}
-        for cat_name in all_specs():
-            if mod._exposed_name(cat_name) != cat_name:
-                alias_map[mod._exposed_name(cat_name)] = cat_name
+        # Rotation retired in round 7: exposed names ARE catalog names.
+        # Assert that invariant (fails into _meta.err if it regresses)
+        # and record an empty map so the artifact states it explicitly.
+        exposed = set(mod.queries())
+        assert exposed == set(all_specs()), (
+            "exposed names diverge from catalog names: "
+            f"{sorted(exposed ^ set(all_specs()))[:5]}"
+        )
+        alias_map: dict[str, str] = {}
         report["_meta"] = {
             "sf_dir": sf_dir,
             "alias_to_catalog": alias_map,

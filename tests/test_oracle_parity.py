@@ -41,3 +41,6 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
+    # Rotation retired (round 7): exposed names must be the canonical
+    # catalog names, in catalog order — no aNN aliases, no reordering.
+    assert list(qs) == list(SPECS), "queries() must expose catalog names/order"
