@@ -562,7 +562,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     max_band_bucket: int | None = 256,
-    hard_band_bucket: int = 65_536,
+    hard_band_bucket: int | None = 65_536,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a band key (Manku
     block-triple banding for the standard radius-3 search, 16-bit

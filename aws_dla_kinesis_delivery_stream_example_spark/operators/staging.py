@@ -32,11 +32,20 @@ the registry is the local-mode analog of dropping the staging table.
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame
 
 _LOCAL = threading.local()
+_LOG = logging.getLogger(__name__)
+
+# Global (cross-thread) count of outstanding staged frames, so a
+# release on the wrong thread is *detectable*: the thread-local design
+# makes build-on-A/release-on-B a silent leak-until-LRU-eviction, and
+# nothing else observes the mismatch.
+_GLOBAL_LOCK = threading.Lock()
+_GLOBAL_STAGED = 0
 
 
 def _registry() -> list[DataFrame]:
@@ -46,20 +55,50 @@ def _registry() -> list[DataFrame]:
     return reg
 
 
+def staged_elsewhere() -> int:
+    """Staged frames held by OTHER threads' registries (0 in the
+    single-threaded bench/rehearsal/test callers)."""
+    with _GLOBAL_LOCK:
+        return _GLOBAL_STAGED - len(_registry())
+
+
 def stage(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it (on this thread's registry) for a
     later :func:`release_staging`."""
+    global _GLOBAL_STAGED
     df.persist()
     _registry().append(df)
+    with _GLOBAL_LOCK:
+        _GLOBAL_STAGED += 1
     return df
 
 
 def release_staging(blocking: bool = False) -> int:
     """Unpersist every staging frame registered BY THIS THREAD;
-    returns how many."""
+    returns how many.
+
+    If this thread has nothing registered while other threads do, the
+    caller probably staged on one thread and released on another — the
+    frames are NOT dropped (safe direction: leak-until-eviction, never
+    a premature unpersist of a plan another thread still needs), and a
+    debug log flags the mismatch so it is diagnosable.
+    """
+    global _GLOBAL_STAGED
     reg = _registry()
+    if not reg:
+        orphans = staged_elsewhere()
+        if orphans:
+            _LOG.debug(
+                "release_staging(): nothing staged on this thread, but "
+                "%d frame(s) staged by other threads remain cached — "
+                "build and release on the same thread, or clearCache()",
+                orphans,
+            )
+        return 0
     n = 0
     while reg:
         reg.pop().unpersist(blocking)
         n += 1
+    with _GLOBAL_LOCK:
+        _GLOBAL_STAGED -= n
     return n

@@ -188,17 +188,23 @@ def test_staging_registry_is_thread_scoped(spark):
     from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
         release_staging,
         stage,
+        staged_elsewhere,
     )
 
     df = spark.range(10)
     stage(df)
-    other_released = []
-    t = threading.Thread(target=lambda: other_released.append(release_staging()))
+    other_released, other_orphans = [], []
+    def _other():
+        other_orphans.append(staged_elsewhere())
+        other_released.append(release_staging())
+    t = threading.Thread(target=_other)
     t.start()
     t.join()
     assert other_released == [0]  # the other thread sees nothing to drop
+    assert other_orphans == [1]  # ...but the mismatch IS observable
     assert df.storageLevel.useMemory  # ours is still persisted
     assert release_staging(blocking=True) == 1  # and we can drop it
+    assert staged_elsewhere() == 0
 
 
 def test_milliweight_overflow_guard(spark):
