@@ -69,6 +69,14 @@ def _checked_milliweight(w_m):
 # relative term at an absolute bound makes the cap constant once the
 # corpus outgrows ceiling/frac docs: per-token fan-out is then at most
 # C(ceiling, 2) pairs (~0.5M at the default 1000) regardless of N.
+#
+# BEHAVIOR CHANGE vs pre-clamp versions — read before upgrading: the
+# ceiling defaults ON. A max_df+max_df_frac caller whose corpus has
+# frac*N > 1000 now prunes tokens with df in (1000, frac*N] that
+# previously survived. This is deliberate (the unclamped default is
+# the measured-quadratic mode, and safe-by-default wins over
+# drop-in-identical); pass ``max_df_ceiling=None`` to restore the old
+# semantics explicitly — accepting the scaling hazard it reintroduces.
 _MAX_DF_CEILING = 1_000
 
 

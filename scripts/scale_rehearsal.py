@@ -105,6 +105,210 @@ def timed(fn):
     return out, round(time.perf_counter() - t0, 2)
 
 
+# ---------------------------------------------------------------------------
+# SimHash valve engagement (VERDICT r06 ask #4): a template-crowded corpus
+# whose band bucket exceeds max_band_bucket, so the chunk-refinement valve
+# demonstrably ENGAGES in a measured run (the unit tests exercise it only on
+# synthetic signatures).
+# ---------------------------------------------------------------------------
+
+_MANKU_OFFS = (0, 11, 22, 33, 44, 54)
+_MANKU_WIDTHS = (11, 11, 11, 11, 10, 10)
+_PROT_BLOCKS = (0, 2, 4)  # one clean block-triple = band shared by ALL variants
+
+
+def _sig_row(tok: str):
+    """±1 contribution of one token to the 64 sig bits (index b = sig
+    bit b) — the same md5 math as dedup.simhash_signatures, replicated
+    offline so the corpus can be CONSTRUCTED to crowd a band bucket."""
+    import hashlib
+
+    import numpy as np
+
+    d = hashlib.md5(tok.encode()).digest()[:8]
+    row = np.unpackbits(np.frombuffer(d, np.uint8)).astype(np.int64)
+    return (2 * row - 1)[::-1]  # unpackbits index k is sig bit 63-k
+
+
+def build_band_crowd_corpus(seed: int = 7, n_variants: int = 600, n_twins: int = 60):
+    """Deterministic adversarial template corpus: >256 DISTINCT sigs on
+    ONE Manku band key (the boilerplate-template shape that crowds band
+    buckets at web scale), constructed offline from the operator's own
+    public md5 bit math.
+
+    Shape: a steered-greedy template whose bit-sums are sign-stable
+    (|s| >= 16) on blocks {0,2,4} — so every variant shares that
+    block-triple band key — and near zero on blocks {1,3,5}, which a
+    per-variant filler (4 unique tokens x count 3, |delta| <= 12 < 16)
+    flips variably.  The volatile blocks intersect all FOUR 16-bit
+    chunks, so crowd pairs differ in every chunk and the valve's
+    chunk-refined join can cut them; Hamming<=3 pairs always share a
+    clean chunk (pigeonhole) and are preserved.  ``n_twins`` planted
+    near-dups (one extra count-1 token, searched to flip 1-3 bits) make
+    the true-pair set non-trivially non-empty.
+
+    Returns (rows, expected): rows = [(doc_id, text)], expected = dict
+    of offline-predicted stats (distinct sigs, crowd bucket size).
+    """
+    import numpy as np
+
+    prot = sorted(
+        b
+        for j in _PROT_BLOCKS
+        for b in range(_MANKU_OFFS[j], _MANKU_OFFS[j] + _MANKU_WIDTHS[j])
+    )
+    vol = sorted(set(range(64)) - set(prot))
+    P, V = np.array(prot), np.array(vol)
+    target_p = 16
+
+    # steered greedy: each step adds the best of 512 candidate tokens —
+    # push weak protected bits toward |s| >= target, volatile toward 0
+    s = np.zeros(64, dtype=np.int64)
+    tmpl: list[str] = []
+    for it in range(3000):
+        need_p = np.abs(s[P]) < target_p + 4
+        weak_p = np.abs(s[P]) < target_p
+        hot_v = np.abs(s[V]) > 4
+        if not weak_p.any() and hot_v.sum() <= 8:
+            break
+        best_sc, best = -1e18, None
+        for j in range(512):
+            t = f"g{seed}x{it}x{j}"
+            r = _sig_row(t)
+            dirp = np.where(s[P] != 0, np.sign(s[P]), 1)
+            sc = (r[P] * dirp * need_p).sum() + (r[V] * -np.sign(s[V]) * hot_v).sum()
+            if sc > best_sc:
+                best_sc, best = sc, (t, r)
+        tmpl.append(best[0])
+        s = s + best[1]
+    assert np.abs(s[P]).min() >= target_p, "template construction failed to converge"
+
+    def sig_of(total: "np.ndarray") -> int:
+        v = (total > 0).astype(np.uint64)
+        return int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    tmpl_text = " ".join(tmpl)
+    rows, sigs = [], []
+    base_totals = {}
+    for vtx in range(n_variants):
+        fills = [f"f{vtx}n{j}" for j in range(4)]
+        tot = s + sum(3 * _sig_row(f) for f in fills)
+        base_totals[vtx] = (fills, tot)
+        rows.append((900_000_000 + vtx, tmpl_text + " " + " ".join(f + " " + f + " " + f for f in fills)))
+        sigs.append(sig_of(tot))
+    # twins: search a count-1 extra token that flips 1-3 bits of its base
+    planted = 0
+    for vtx in range(n_variants):
+        if planted >= n_twins:
+            break
+        fills, tot = base_totals[vtx]
+        for j in range(300):
+            tw = f"tw{vtx}x{j}"
+            tot2 = tot + _sig_row(tw)
+            hd = bin(sig_of(tot) ^ sig_of(tot2)).count("1")
+            if 1 <= hd <= 3:
+                rows.append(
+                    (
+                        950_000_000 + vtx,
+                        tmpl_text
+                        + " "
+                        + " ".join(f + " " + f + " " + f for f in fills)
+                        + " "
+                        + tw,
+                    )
+                )
+                sigs.append(sig_of(tot2))
+                planted += 1
+                break
+    uniq = set(sigs)
+    expected = {
+        "n_crowd_docs": len(rows),
+        "n_planted_twins": planted,
+        "expected_distinct_sigs": len(uniq),
+    }
+    assert len(uniq) > 256, "crowd must exceed the default max_band_bucket"
+    return rows, expected
+
+
+def _measure_valve(spark, docs) -> dict:
+    """Candidate counts, wall time, and true-pair equivalence for the
+    band join valved (max_band_bucket=256) vs unvalved (None)."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+
+    usig = (
+        dedup.simhash_signatures(docs, "doc_id", "text")
+        .select("sig", "chunks")
+        .distinct()
+        .persist()
+    )
+    n_sigs = usig.count()
+    banded = usig.select(
+        "sig", F.explode(F.array(*dedup._manku_band_keys(F.col("sig")))).alias("bk")
+    )
+    max_bucket = banded.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    row = {
+        "n_docs": docs.count(),
+        "n_distinct_sigs": n_sigs,
+        "max_band_bucket_size": int(max_bucket),
+        "valve_threshold": 256,
+    }
+    # the whole point is a measured ENGAGED valve — fail loudly if the
+    # corpus did not actually crowd a bucket past the threshold
+    assert max_bucket > 256, f"valve would not engage: max bucket {max_bucket}"
+
+    def run(max_band_bucket):
+        cand = dedup.simhash_band_candidates(
+            usig, max_hamming=3, max_band_bucket=max_band_bucket
+        )
+        n, sec = timed(cand.count)
+        tp = {
+            (r["sig_a"], r["sig_b"])
+            for r in cand.filter(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3
+            ).collect()
+        }
+        return n, sec, tp
+
+    n_v, sec_v, tp_v = run(256)
+    n_u, sec_u, tp_u = run(None)
+    row.update(
+        valved_candidates=n_v,
+        valved_sec=sec_v,
+        unvalved_candidates=n_u,
+        unvalved_sec=sec_u,
+        true_pairs=len(tp_v),
+        true_pairs_equal=tp_v == tp_u,
+        candidate_cut=round(1 - n_v / max(n_u, 1), 4),
+    )
+    usig.unpersist()
+    return row
+
+
+def simhash_valve_rehearsal(spark, base_dir: str) -> dict:
+    """Two measured tiers with the hot-bucket valve ENGAGED:
+
+    - ``engaged``: base-tier documents + a 600-variant crowd — the
+      realistic mix; asserts true-pair equivalence and records the
+      candidate cut. At this size the valve's extra stages COST wall
+      time (the 217k-pair bucket is trivially cheap locally); what it
+      buys is the candidate bound.
+    - ``crossover``: a 20,000-variant crowd — the bucket's O(m^2) is
+      now the dominant term and the valve wins wall time outright,
+      the shape a 100 TB boilerplate crowd takes.
+    """
+    crowd_rows, expected = build_band_crowd_corpus()
+    crowd = spark.createDataFrame(crowd_rows, "doc_id long, text string")
+    base = load_table(spark, base_dir, "documents").select("doc_id", "text")
+    engaged = {**expected, **_measure_valve(spark, base.unionByName(crowd))}
+
+    big_rows, big_expected = build_band_crowd_corpus(n_variants=20_000, n_twins=60)
+    big = spark.createDataFrame(big_rows, "doc_id long, text string")
+    crossover = {**big_expected, **_measure_valve(spark, big)}
+    return {"engaged": engaged, "crossover": crossover}
+
+
 def main() -> None:
     max_df = None
     if "--max-df" in sys.argv:
@@ -242,6 +446,44 @@ def main() -> None:
         )
         row["tfidf_abs_candidates"] = n_tfa
 
+        # RECALL, not just cost (VERDICT r06 ask #3): the absolute mode
+        # is cost-flat partly by finding nothing once df outgrows the
+        # cap. Ground truth = CAP-FREE exact jaccard >= 0.5 pairs (the
+        # q49 near-dup definition, max_df=None regardless of --max-df);
+        # report how many of those each capped tfidf candidate set
+        # recovers. Runs after the timed measurements so nothing here
+        # warms them.
+        truth = (
+            dedup.shingle_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_df=None
+            )
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        row["n_true_pairs"] = truth.count()
+        frac_cand = TF.tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=-1.0, max_df=50, max_df_frac=0.1
+        ).select("doc_a", "doc_b")
+        row["tfidf_true_pairs"] = truth.join(
+            frac_cand, ["doc_a", "doc_b"], "left_semi"
+        ).count()
+        abs_cand = TF.tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=-1.0, max_df=50
+        ).select("doc_a", "doc_b")
+        row["tfidf_abs_true_pairs"] = truth.join(
+            abs_cand, ["doc_a", "doc_b"], "left_semi"
+        ).count()
+        # the documented handoff: MinHash recovers the template-dup
+        # population the df-capped tfidf modes go blind to — measure it
+        # on the same truth set so the claim carries a number
+        mh_cand = dedup.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.0
+        ).select("doc_a", "doc_b")
+        row["minhash_true_pairs"] = truth.join(
+            mh_cand, ["doc_a", "doc_b"], "left_semi"
+        ).count()
+        truth.unpersist()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -259,6 +501,23 @@ def main() -> None:
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)
     print("SCALESUMMARY " + json.dumps(summary), flush=True)
+
+    # valve-engagement measurement (band-crowded corpus on the largest
+    # driver tier, NOT the synth tier — the crowd is its own stressor)
+    valved = simhash_valve_rehearsal(spark, SFS[-1][1])
+    spark.catalog.clearCache()
+    print("SCALEVALVED " + json.dumps(valved), flush=True)
+
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        artifact = {
+            "per_sf": [{"sf": sf, **results[sf]} for sf, _ in tiers],
+            "summary": summary,
+            "simhash_valved": valved,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"SCALEOUT {out_path}", flush=True)
     spark.stop()
 
 
