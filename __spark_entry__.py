@@ -31,14 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, catalog order."""
-    return {name: spec.spark for name, spec in all_specs().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Sorted by canonical name so insertion order is q01..qNN — the
+    driver's correctness window records the first 50 dict entries,
+    which this ordering pins to exactly q01..q50 every round.
+    """
+    return {name: spec.spark for name, spec in sorted(all_specs().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (omitted => rows-only check)."""
     return {
         name: spec.oracle
-        for name, spec in all_specs().items()
+        for name, spec in sorted(all_specs().items())
         if spec.oracle is not None
     }

@@ -142,6 +142,103 @@ def boilerplate_ratio(
     )
 
 
+def duplicated_span_stats(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 20
+) -> DataFrame:
+    """Per-doc duplicated-span coverage — the EXACTSUBSTR-style signal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): how much of each document is covered by token ``n``-gram
+    windows that occur MORE THAN ONCE in the corpus (cross-doc or
+    within-doc). Unlike the pair-producing dedup family this emits one
+    row per document, so there is NO pair join and no O(df^2) hazard
+    anywhere: window hashing is a narrow map, the duplicate-window set
+    is one map-side-combinable count aggregation, the join-back is an
+    equi semi join on fixed-width hashes, and coverage is a per-doc
+    window function — every stage linear in corpus token count.
+
+    Coverage counts each token once even under overlapping duplicated
+    windows (union of [pos, pos+n) intervals via a sorted lead() pass),
+    which is what makes the number a defensible "fraction of this doc
+    is duplicated text" curation signal rather than an occurrence
+    count (``boilerplate_ratio`` is the occurrence-count variant at
+    shingle granularity).
+
+    Returns (id_col, n_tokens, n_dup_windows, dup_tokens,
+    dup_fraction) for EVERY input document; docs shorter than ``n``
+    tokens report zeros. Window hashes are 60-bit md5 prefixes —
+    engine-portable (the q37 pattern), so the whole statistic sits
+    under a full DuckDB hash oracle.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"), TX.words(text_col).alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    window_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - n + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice("toks", i, n))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    # windows feed two consumers (the duplicate-count and the
+    # join-back); stage once (a staging table at 100 TB scale)
+    w = stage(
+        toks.filter(F.col("n_tokens") >= n)
+        .select("doc", F.explode(window_structs).alias("w"))
+        .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    # duplicated = total occurrences > 1; NOT broadcast — at web scale
+    # the duplicated-span set grows with the duplicate population, so
+    # the join-back is a plain (linear) shuffle join, AQE may still
+    # broadcast it when small
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    ww = Window.partitionBy("doc").orderBy("pos")
+    nxt = F.lead("pos").over(ww)
+    covered = (
+        F.when(nxt.isNotNull() & (nxt - F.col("pos") < n), nxt - F.col("pos"))
+        .otherwise(F.lit(n))
+        .cast("long")
+    )
+    per_doc = (
+        w.join(dup, "h", "left_semi")
+        .select("doc", covered.alias("cov"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        toks.select("doc", "n_tokens")
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """Element-wise mean embedding per label as (label, centroid
     array<double>) — |labels| x dim rows, broadcast-sized."""

@@ -305,3 +305,56 @@ def q69_embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q93_duplicated_spans",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, i AS pos,
+                   CAST('0x' || substring(
+                       md5(array_to_string(array_slice(toks, i, i + 19), ' ')),
+                       1, 15) AS BIGINT) AS h
+            FROM t, UNNEST(generate_series(1, len(toks) - 19)) AS g(i)
+            WHERE len(toks) >= 20
+        ),
+        d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        dw AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+        cov AS (
+            SELECT doc_id,
+                   CASE WHEN lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             - pos < 20
+                        THEN lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             - pos
+                        ELSE 20 END AS c
+            FROM dw
+        ),
+        pd AS (
+            SELECT doc_id, count(*) AS n_dup_windows, sum(c) AS dup_tokens
+            FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(pd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(pd.dup_tokens, 0)
+                     / greatest(len(t.toks), 1), 6) AS dup_fraction
+        FROM t LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id
+    """,
+    description="EXACTSUBSTR-style duplicated-span coverage (Lee et "
+    "al.): per-doc fraction of tokens covered by 20-token windows "
+    "occurring more than once in the corpus — one row per doc, no "
+    "pair join, every stage linear in corpus token count (the massive-"
+    "dedup quality signal used by modern pretraining pipelines)",
+    tags=("llm", "curation", "dedup"),
+)
+def q93_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.duplicated_span_stats(docs, "doc_id", "text", n=20).orderBy(
+        "doc_id"
+    )

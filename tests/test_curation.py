@@ -81,3 +81,49 @@ def test_centroid_cosines_identical_vectors(spark):
     assert len(cc) == 6
     for r in cc:
         assert abs(r.cos_centroid - 1.0) < 1e-12
+
+
+def test_duplicated_spans_planted_coverage(spark):
+    """EXACTSUBSTR-style coverage on planted docs, hand-computed:
+    cross-doc shared runs, OVERLAPPING duplicated windows counted as a
+    token union (not an occurrence sum), within-doc repetition, and a
+    too-short doc reporting zeros."""
+    w = [f"w{i}" for i in range(1, 31)]  # w1..w30, all distinct
+    rows = [
+        (1, " ".join(w), "s"),  # 30 toks; windows @1,@2 duplicated
+        # x-pad + w1..w20 + y-pad: shares exactly the w1..w20 run
+        (2, " ".join([f"x{i}" for i in range(5)] + w[:20] + [f"y{i}" for i in range(5)]), "s"),
+        (3, " ".join(w[:21]), "s"),  # w1..w21: both windows duplicated
+        (4, "z1 z2 z3 z4 z5", "s"),  # shorter than n: zeros
+        (5, " ".join([f"v{i}" for i in range(20)] * 2), "s"),  # self-repeat
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.duplicated_span_stats(
+            _docs(spark, rows), "doc_id", "text", n=20
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc1: [w1..w20] (also in docs 2,3) and [w2..w21] (also in doc 3)
+    # overlap -> union covers w1..w21 = 21 tokens, NOT 40
+    assert out[1]["n_tokens"] == 30
+    assert out[1]["n_dup_windows"] == 2
+    assert out[1]["dup_tokens"] == 21
+    assert abs(out[1]["dup_fraction"] - 0.7) < 1e-9
+    # doc2: one duplicated window ([w1..w20] at pos 6) -> 20 of 30
+    assert out[2]["n_dup_windows"] == 1
+    assert out[2]["dup_tokens"] == 20
+    assert abs(out[2]["dup_fraction"] - 0.666667) < 1e-9
+    # doc3: fully covered (21 of 21)
+    assert out[3]["dup_tokens"] == 21
+    assert abs(out[3]["dup_fraction"] - 1.0) < 1e-9
+    # doc4: shorter than the window -> zeros, but still reported
+    assert out[4] == {
+        "doc_id": 4, "n_tokens": 5, "n_dup_windows": 0,
+        "dup_tokens": 0, "dup_fraction": 0.0,
+    }
+    # doc5: [v0..v19] occurs at pos 1 and pos 21 (within-doc repeat);
+    # the 19 cyclic-rotation windows between them occur once each
+    assert out[5]["n_dup_windows"] == 2
+    assert out[5]["dup_tokens"] == 40
+    assert abs(out[5]["dup_fraction"] - 1.0) < 1e-9
