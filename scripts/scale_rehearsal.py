@@ -34,17 +34,20 @@ from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_ta
 SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 
 
-def synthesize_10x(src_dir: str) -> str:
-    """Deterministic 10x documents/embeddings set: replicate sf0.1 with
-    per-replica perturbation (no driver dependency; written under /tmp).
+def synthesize_10x(src_dir: str, factor: int = 10) -> str:
+    """Deterministic ``factor``x documents(+embeddings) set: replicate
+    sf0.1 with per-replica perturbation (no driver dependency; written
+    under /tmp).
 
-    The growth model is 'the corpus grew 10x with the same duplicate
-    DENSITY', not '10 copies of everything': replica k>0 prefixes every
-    token with r{k} (disjoint vocabulary per replica, so no spurious
-    cross-replica near-dups — within-replica structure is preserved
-    verbatim) and adds seeded N(0, 0.05) noise to embeddings (cluster
-    geometry persists, exact duplicates stop being exact). One-time
-    cost, keyed by source mtime.
+    The growth model is 'the corpus grew ``factor``x with the same
+    duplicate DENSITY', not 'copies of everything': replica k>0
+    prefixes every token with r{k} (disjoint vocabulary per replica, so
+    no spurious cross-replica near-dups — within-replica structure is
+    preserved verbatim) and adds seeded N(0, 0.05) noise to embeddings
+    (cluster geometry persists, exact duplicates stop being exact).
+    Embeddings are synthesized only at factor=10 (the dense-vector ops
+    are measured on the 10x tier; the 100x tier covers the text-dedup
+    family). One-time cost, keyed by source mtime.
     """
     import hashlib
     import re as _re
@@ -57,7 +60,7 @@ def synthesize_10x(src_dir: str) -> str:
     key = hashlib.md5(
         f"{src_dir}:{os.path.getmtime(os.path.join(src_dir, 'documents.parquet'))}".encode()
     ).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"spark_graft_scale10x_{key}")
+    out_dir = os.path.join("/tmp", f"spark_graft_scale{factor}x_{key}")
     marker = os.path.join(out_dir, "_SYNTH_OK")
     if os.path.exists(marker):
         return out_dir
@@ -66,7 +69,7 @@ def synthesize_10x(src_dir: str) -> str:
     docs = pq.read_table(os.path.join(src_dir, "documents.parquet")).to_pandas()
     tok = _re.compile(r"[A-Za-z0-9]+")
     frames = []
-    for k in range(10):
+    for k in range(factor):
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + k * 10_000_000
         if k:
@@ -80,6 +83,9 @@ def synthesize_10x(src_dir: str) -> str:
     big = pd.concat(frames, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
                    os.path.join(out_dir, "documents.parquet"))
+    if factor != 10:
+        open(marker, "w").close()
+        return out_dir
 
     emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet")).to_pandas()
     mat = np.vstack(emb["embedding"].to_numpy()).astype("float32")
@@ -283,6 +289,67 @@ def _measure_valve(spark, docs) -> dict:
         candidate_cut=round(1 - n_v / max(n_u, 1), 4),
     )
     usig.unpersist()
+    return row
+
+
+def extreme_tier_rehearsal(spark, src_dir: str, ref_row: dict | None) -> dict:
+    """100x tier (sf0.1 replicated to ~500k docs, disjoint per-replica
+    vocabulary): the text-dedup candidate generators at a 1000x total
+    span vs sf0.001. Measures the four operators whose banding/valving
+    is the 100 TB design claim; exponents are computed against the 10x
+    tier (``ref_row``) so the marginal decade is visible, not averaged
+    away."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import tfidf as TF
+
+    tier_dir = synthesize_10x(src_dir, factor=100)
+    docs = load_table(spark, tier_dir, "documents").select("doc_id", "text")
+    row: dict = {"n_docs": docs.count()}
+
+    cand, row["minhash_sec"] = timed(
+        lambda: dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.0).count()
+    )
+    row["minhash_candidates"] = cand
+    spark.catalog.clearCache()
+
+    usig = (
+        dedup.simhash_signatures(docs, "doc_id", "text")
+        .select("sig", "chunks")
+        .distinct()
+    )
+    cand_df = dedup.simhash_band_candidates(usig, max_hamming=3).persist()
+    cand, row["simhash_sec"] = timed(cand_df.count)
+    row["simhash_candidates"] = cand
+    row["simhash_true_pairs"] = cand_df.filter(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3
+    ).count()
+    cand_df.unpersist()
+    spark.catalog.clearCache()
+
+    cand, row["jaccard_sec"] = timed(
+        lambda: dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).count()
+    )
+    row["jaccard_candidates"] = cand
+    spark.catalog.clearCache()
+
+    cand, row["tfidf_abs_sec"] = timed(
+        lambda: TF.tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=-1.0, max_df=50
+        ).count()
+    )
+    row["tfidf_abs_candidates"] = cand
+    spark.catalog.clearCache()
+
+    if ref_row:
+        growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
+        for op in ("minhash", "simhash", "jaccard", "tfidf_abs"):
+            c_lo = max(ref_row[f"{op}_candidates"], 1)
+            c_hi = max(row[f"{op}_candidates"], 1)
+            row[f"{op}_exponent_vs_10x"] = round(
+                math.log10(c_hi / c_lo) / growth, 2
+            )
     return row
 
 
@@ -508,6 +575,13 @@ def main() -> None:
     spark.catalog.clearCache()
     print("SCALEVALVED " + json.dumps(valved), flush=True)
 
+    extreme = None
+    if "--with-100x" in sys.argv:
+        extreme = extreme_tier_rehearsal(
+            spark, SFS[-1][1], results.get("1.0-synth")
+        )
+        print("SCALE100X " + json.dumps(extreme), flush=True)
+
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
         artifact = {
@@ -515,6 +589,8 @@ def main() -> None:
             "summary": summary,
             "simhash_valved": valved,
         }
+        if extreme is not None:
+            artifact["extreme_100x"] = extreme
         with open(out_path, "w") as f:
             json.dump(artifact, f, indent=1)
         print(f"SCALEOUT {out_path}", flush=True)
