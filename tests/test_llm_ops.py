@@ -561,3 +561,57 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     s_hits = {(r.q_id, r.vec_id) for r in single.collect()} & bf_top
     m_hits = {(r.q_id, r.vec_id) for r in multi.collect()} & bf_top
     assert len(m_hits) >= len(s_hits)
+
+
+def test_simhash_valve_engages_on_band_crowd_corpus(spark):
+    """End-to-end at the DEFAULT bound (the rehearsal's shape, pinned
+    per-commit): a template-crowd TEXT corpus concentrates >256
+    distinct fingerprints on one band key, the hot-bucket valve
+    engages (candidate set strictly shrinks), and the verified
+    Hamming<=3 pair set is identical to the unvalved join."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "scale_rehearsal.py"
+    )
+    spec = importlib.util.spec_from_file_location("scale_rehearsal", path)
+    sr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sr)
+
+    rows, expected = sr.build_band_crowd_corpus(n_variants=300, n_twins=20)
+    assert expected["n_planted_twins"] == 20
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    usig = (
+        dedup.simhash_signatures(docs, "doc_id", "text")
+        .select("sig", "chunks")
+        .distinct()
+        .persist()
+    )
+    try:
+        banded = usig.select(
+            "sig",
+            F.explode(F.array(*dedup._manku_band_keys(F.col("sig")))).alias("bk"),
+        )
+        max_bucket = banded.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+        assert max_bucket > 256  # the default valve threshold WILL fire
+
+        def run(bound):
+            cand = dedup.simhash_band_candidates(usig, 3, bound)
+            verified = {
+                (r.sig_a, r.sig_b)
+                for r in cand.filter(
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3
+                ).collect()
+            }
+            return cand.count(), verified
+
+        n_valved, tp_valved = run(256)
+        n_unvalved, tp_unvalved = run(None)
+        assert n_valved < n_unvalved  # the valve actually cut candidates
+        assert tp_valved == tp_unvalved  # ...without losing a single pair
+        assert len(tp_valved) >= 20  # at least the planted twins verify
+    finally:
+        usig.unpersist()
