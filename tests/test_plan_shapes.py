@@ -73,7 +73,13 @@ def test_aggregation_has_map_side_partial(spark):
 def test_exchange_budgets_hold(spark):
     """The exchange counts the round-4 plan audit measured; more
     exchanges than this means a shuffle crept in."""
-    for name, budget in (("q79_retention_cohorts", 4), ("q80_session_funnel", 2)):
+    for name, budget in (
+        ("q79_retention_cohorts", 4),
+        ("q80_session_funnel", 2),
+        # q93 (round 7): window-hash agg + semi join back + doc window/
+        # agg (shared partitioning) + toks join + final sort = 5
+        ("q93_duplicated_spans", 5),
+    ):
         plan = plan_of(spark, name)
         n = plan.count("Exchange")
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
