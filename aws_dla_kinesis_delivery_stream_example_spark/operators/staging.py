@@ -43,7 +43,12 @@ _LOG = logging.getLogger(__name__)
 # Global (cross-thread) count of outstanding staged frames, so a
 # release on the wrong thread is *detectable*: the thread-local design
 # makes build-on-A/release-on-B a silent leak-until-LRU-eviction, and
-# nothing else observes the mismatch.
+# nothing else observes the mismatch.  Scope: the counter tracks
+# stage()/release_staging() pairs only — a session-wide
+# spark.catalog.clearCache() drops the caches without decrementing it,
+# so after a clearCache the counter may over-report until the owning
+# threads call release_staging (which still pops their registries).
+# It is an advisory diagnostic, never a correctness input.
 _GLOBAL_LOCK = threading.Lock()
 _GLOBAL_STAGED = 0
 
