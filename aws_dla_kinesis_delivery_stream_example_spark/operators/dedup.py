@@ -292,6 +292,55 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
     return labels
 
 
+def cluster_survivors(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc",
+    score_col: str = "score",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster, keep the
+    member with the highest ``score_col`` (ties -> lowest id) and
+    account for what gets dropped — the curation step after cluster
+    resolution, where production pipelines keep the *best* copy of
+    duplicated content rather than an arbitrary one (the usual
+    refinement over ``duplicate_clusters``' min-id convention).
+
+    ``clusters`` is (id_col, cluster_id) as produced by
+    ``duplicate_clusters``; ``scored`` carries (id_col, score_col[,
+    size_col]) for at least every clustered id.
+
+    100 TB design note: survivor choice is ONE hash aggregation using
+    ``max_by(id, struct(score, -id))`` — map-side-combinable and
+    skew-immune, deliberately NOT a row_number window: a pathological
+    mega-cluster (millions of copies of one boilerplate page) would
+    funnel into a single window partition and sort, while max_by folds
+    it in constant state per cluster per task.
+
+    Returns (cluster_id, survivor_doc, survivor_score, n_members,
+    n_removed[, removed_<size_col>]) — one row per cluster.
+    """
+    j = clusters.join(scored, id_col)
+    # struct comparison is lexicographic: max score first, then max(-id)
+    # = min id — the deterministic tie-break both engines agree on for
+    # exact-integer scores
+    pref = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    )
+    aggs = [
+        F.max_by(F.col(id_col), pref).alias("survivor_doc"),
+        F.max(score_col).alias("survivor_score"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+    ]
+    if size_col is not None:
+        aggs.append(
+            (F.sum(size_col) - F.max_by(F.col(size_col), pref))
+            .alias(f"removed_{size_col}")
+        )
+    return j.groupBy("cluster_id").agg(*aggs)
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash packed into ONE long: (doc, sig, chunks array<int>).
 

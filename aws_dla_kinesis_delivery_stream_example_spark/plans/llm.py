@@ -586,10 +586,13 @@ def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q49_dedup_clusters",
-    oracle="""
-        WITH RECURSIVE toks AS (
+# Connected components of the exact-Jaccard(>=0.4) 5-gram pair graph
+# as a recursive-CTE fragment — the oracle counterpart of
+# `shingle_jaccard_pairs` + `duplicate_clusters`, shared by q49
+# (cluster resolution) and q94 (quality-aware survivor selection).
+# Yields cte `j_clusters` = (doc, cluster_id = min doc id reachable).
+_JACCARD_CLUSTERS_CTE = """
+        toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
             FROM documents
         ),
@@ -617,10 +620,19 @@ def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT src, dst FROM edges
             UNION
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        )
-        SELECT doc, CAST(least(doc, min(dst)) AS BIGINT) AS cluster_id
-        FROM (SELECT src AS doc, dst FROM reach)
-        GROUP BY doc
+        ),
+        j_clusters AS (
+            SELECT doc, CAST(least(doc, min(dst)) AS BIGINT) AS cluster_id
+            FROM (SELECT src AS doc, dst FROM reach)
+            GROUP BY doc
+        )"""
+
+
+@query(
+    "q49_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CLUSTERS_CTE}
+        SELECT doc, cluster_id FROM j_clusters
         ORDER BY doc
     """,
     description="Near-dup cluster resolution: connected components of the "
@@ -636,6 +648,70 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.col("cluster_id").cast("long").alias("cluster_id"))
         .orderBy("doc")
     )
+
+
+def _q94_oracle() -> str:
+    from .quality import QUALITY_SCORED_CTE
+
+    return f"""
+        WITH RECURSIVE {_JACCARD_CLUSTERS_CTE},
+        {QUALITY_SCORED_CTE},
+        members AS (
+            SELECT c.cluster_id, c.doc, s.p_u, d.n_chars
+            FROM j_clusters c
+            JOIN q_scored s ON s.doc_id = c.doc
+            JOIN documents d ON d.doc_id = c.doc
+        ),
+        surv AS (
+            SELECT cluster_id, doc AS survivor_doc, p_u AS survivor_score,
+                   n_chars AS survivor_chars
+            FROM members
+            QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY p_u DESC, doc ASC) = 1
+        ),
+        agg AS (
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(*) - 1 AS BIGINT) AS n_removed,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM members GROUP BY cluster_id
+        )
+        SELECT a.cluster_id, s.survivor_doc, s.survivor_score,
+               a.n_members, a.n_removed,
+               CAST(a.total_chars - s.survivor_chars AS BIGINT) AS removed_n_chars
+        FROM agg a JOIN surv s USING (cluster_id)
+        ORDER BY cluster_id
+    """
+
+
+@query(
+    "q94_dedup_survivors",
+    oracle=_q94_oracle(),
+    description="Quality-aware dedup survivor selection: resolve near-"
+    "dup clusters (exact-Jaccard>=0.4 components, the q49 graph), then "
+    "keep each cluster's highest-quality member under the q85 logistic "
+    "model (integer micro-unit score, ties -> min doc id) and account "
+    "for removed docs/chars — keep-the-best-copy curation, chosen by "
+    "one skew-immune max_by hash aggregation instead of a per-cluster "
+    "window sort",
+    tags=("llm", "dedup", "curation", "iterative"),
+)
+def q94_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import quality_p_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.4)
+    clusters = dedup.duplicate_clusters(pairs).select(
+        "doc", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    scored = docs.select(
+        F.col("doc_id").alias("doc"),
+        quality_p_u("text").alias("p_u"),
+        F.col("n_chars"),
+    )
+    return dedup.cluster_survivors(
+        clusters, scored, id_col="doc", score_col="p_u", size_col="n_chars"
+    ).orderBy("cluster_id")
 
 
 @query(

@@ -29,11 +29,12 @@ from .catalog import query
 # features. Literal constants so both engines evaluate identically.
 _W_ALPHA, _W_STOP, _W_LEN, _W_PUNCT, _BIAS = 4.0, 2.0, 0.002, -3.0, -2.0
 
-
-@query(
-    "q85_quality_classifier",
-    oracle=f"""
-        WITH feats AS (
+# Shared oracle fragment: CTEs producing (doc_id, source, p_u) with the
+# identical rounding/micro-unit contract as ``quality_p_u`` below.
+# Reused by q85 here and by the quality-aware dedup survivor query
+# (q94) so both engines score documents with the same model.
+QUALITY_SCORED_CTE = f"""
+        q_feats AS (
             SELECT doc_id, source,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                        / length(text) AS alpha,
@@ -45,19 +46,48 @@ _W_ALPHA, _W_STOP, _W_LEN, _W_PUNCT, _BIAS = 4.0, 2.0, 0.002, -3.0, -2.0
                        / length(text) AS punct_ratio
             FROM documents
         ),
-        scored AS (
+        q_scored AS (
             SELECT doc_id, source,
                    CAST(round(1000000.0 / (1.0 + exp(-round(
                        {_W_ALPHA} * alpha + {_W_STOP} * stop_ratio
                        + {_W_LEN} * n_tok + {_W_PUNCT} * punct_ratio + {_BIAS},
                    6)))) AS BIGINT) AS p_u
-            FROM feats
-        )
+            FROM q_feats
+        )"""
+
+
+def quality_p_u(text_col: str = "text"):
+    """The q85 model score as a reusable Column: integer micro-unit
+    logistic probability (round(1e6 * sigmoid(logit)) with the logit
+    rounded on a 6-dp grid first). Pure codegen column arithmetic —
+    the shared currency between the quality gate (q85) and quality-
+    aware survivor selection (q94); exact-integer, so cross-engine
+    comparisons and argmax ties behave identically."""
+    alpha = TX.alpha_ratio(text_col)
+    stop_ratio = TX.stopword_count(text_col).cast("double") / F.greatest(
+        TX.token_count(text_col), F.lit(1)
+    ).cast("double")
+    n_tok = TX.token_count(text_col).cast("double")
+    punct_ratio = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, "[.,!?;:]", ""))
+    ).cast("double") / F.length(text_col).cast("double")
+    logit = F.round(
+        _W_ALPHA * alpha + _W_STOP * stop_ratio + _W_LEN * n_tok
+        + _W_PUNCT * punct_ratio + F.lit(_BIAS),
+        6,
+    )
+    return F.round(1_000_000.0 / (1.0 + F.exp(-logit)), 0).cast("long")
+
+
+@query(
+    "q85_quality_classifier",
+    oracle=f"""
+        WITH {QUALITY_SCORED_CTE}
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (p_u >= 500000) AS BIGINT) AS n_kept,
                round(sum(p_u) / (count(*) * 1000000.0), 4) AS avg_p
-        FROM scored
+        FROM q_scored
         GROUP BY source
         ORDER BY source
     """,
@@ -74,24 +104,10 @@ def q85_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. Swapping in real trained weights (or a quantized MLP as
     nested CASE/dot expressions) changes constants, not the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    alpha = TX.alpha_ratio("text")
-    stop_ratio = TX.stopword_count("text").cast("double") / F.greatest(
-        TX.token_count("text"), F.lit(1)
-    ).cast("double")
-    n_tok = TX.token_count("text").cast("double")
-    punct_ratio = (
-        F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
-    ).cast("double") / F.length("text").cast("double")
-    logit = F.round(
-        _W_ALPHA * alpha + _W_STOP * stop_ratio + _W_LEN * n_tok
-        + _W_PUNCT * punct_ratio + F.lit(_BIAS),
-        6,
-    )
     # probability in integer micro-units: per-source averages then sum
     # EXACT integers, immune to float-sum associativity across engines
-    p_u = F.round(1_000_000.0 / (1.0 + F.exp(-logit)), 0).cast("long")
     return (
-        docs.select("doc_id", "source", p_u.alias("p_u"))
+        docs.select("doc_id", "source", quality_p_u("text").alias("p_u"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -545,6 +545,33 @@ def test_duplicate_clusters_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_cluster_survivors_picks_best_quality_with_min_id_ties(spark):
+    """Planted clusters with hand-built scores: the survivor must be
+    the argmax-score member (NOT min id), ties break to min id, and
+    removed-size accounting excludes exactly the survivor."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        # cluster 1: doc 2 wins on score (min-id convention would say 1)
+        # cluster 10: scores tie -> min id 10 wins
+        [(1, 50, 100), (2, 90, 200), (3, 50, 300), (10, 70, 400), (11, 70, 500)],
+        "doc long, score long, n_chars long",
+    )
+    out = {
+        r.cluster_id: r
+        for r in dedup.cluster_survivors(
+            clusters, scored, id_col="doc", score_col="score", size_col="n_chars"
+        ).collect()
+    }
+    c1, c10 = out[1], out[10]
+    assert (c1.survivor_doc, c1.survivor_score) == (2, 90)
+    assert (c1.n_members, c1.n_removed, c1.removed_n_chars) == (3, 2, 400)
+    assert (c10.survivor_doc, c10.survivor_score) == (10, 70)
+    assert (c10.n_members, c10.n_removed, c10.removed_n_chars) == (2, 1, 500)
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     """Hamming-1 multi-probe must (a) score identically to brute force
     on every pair it returns, and (b) never lose a candidate the single

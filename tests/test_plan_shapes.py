@@ -79,6 +79,11 @@ def test_exchange_budgets_hold(spark):
         # q93 (round 7): window-hash agg + semi join back + doc window/
         # agg (shared partitioning) + toks join + final sort = 5
         ("q93_duplicated_spans", 5),
+        # q94 (round 7): clusters⋈scores join + survivor agg + final
+        # sort = 3 (4 if AQE swaps the broadcast for a shuffle join);
+        # the cluster-resolution loop runs eagerly and checkpoints, so
+        # it is not part of this plan
+        ("q94_dedup_survivors", 4),
     ):
         plan = plan_of(spark, name)
         n = plan.count("Exchange")
