@@ -572,6 +572,46 @@ def test_cluster_survivors_picks_best_quality_with_min_id_ties(spark):
     assert (c10.n_members, c10.n_removed, c10.removed_n_chars) == (2, 1, 500)
 
 
+def test_cluster_survivors_randomized_equivalence(spark):
+    """Randomized check vs a brute-force Python reference: for random
+    cluster assignments and scores (with deliberate score ties), the
+    max_by aggregation must agree with sort-and-pick-first on every
+    cluster, and the accounting must be exact."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 120
+        rows = [
+            (i, rng.randrange(8), rng.randrange(5), rng.randrange(1, 1000))
+            for i in range(n)
+        ]
+        clusters = spark.createDataFrame(
+            [(i, c) for i, c, _, _ in rows], "doc long, cluster_id long"
+        )
+        scored = spark.createDataFrame(
+            [(i, s, ch) for i, _, s, ch in rows],
+            "doc long, score long, n_chars long",
+        )
+        got = {
+            r.cluster_id: r
+            for r in dedup.cluster_survivors(
+                clusters, scored, id_col="doc", score_col="score", size_col="n_chars"
+            ).collect()
+        }
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for i, c, s, ch in rows:
+            by_cluster.setdefault(c, []).append((i, s, ch))
+        assert set(got) == set(by_cluster)
+        for c, members in by_cluster.items():
+            best = sorted(members, key=lambda t: (-t[1], t[0]))[0]
+            r = got[c]
+            assert (r.survivor_doc, r.survivor_score) == (best[0], best[1]), (seed, c)
+            assert r.n_members == len(members)
+            assert r.n_removed == len(members) - 1
+            assert r.removed_n_chars == sum(ch for _, _, ch in members) - best[2]
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     """Hamming-1 multi-probe must (a) score identically to brute force
     on every pair it returns, and (b) never lose a candidate the single
