@@ -17,11 +17,20 @@ full-catalog artifact is CORRECTNESS_local_r{N}.json every round.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+
+def _catalog_order(name: str) -> tuple[int, str]:
+    """NUMERIC query order (q2 < q10 < q100), not lexicographic — a
+    plain sorted() would slot a future q100 between q10 and q11 and
+    silently push q50 out of the driver's 50-entry window."""
+    m = re.match(r"q(\d+)", name)
+    return (int(m.group(1)) if m else 10**9, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,17 +42,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Sorted by canonical name so insertion order is q01..qNN — the
-    driver's correctness window records the first 50 dict entries,
-    which this ordering pins to exactly q01..q50 every round.
+    Sorted by canonical query NUMBER so insertion order is q01..qNN —
+    the driver's correctness window records the first 50 dict entries,
+    which this ordering pins to exactly q01..q50 every round, even
+    once the catalog passes q99.
     """
-    return {name: spec.spark for name, spec in sorted(all_specs().items())}
+    specs = all_specs()
+    return {
+        name: specs[name].spark for name in sorted(specs, key=_catalog_order)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (omitted => rows-only check)."""
+    specs = all_specs()
     return {
-        name: spec.oracle
-        for name, spec in sorted(all_specs().items())
-        if spec.oracle is not None
+        name: specs[name].oracle
+        for name in sorted(specs, key=_catalog_order)
+        if specs[name].oracle is not None
     }

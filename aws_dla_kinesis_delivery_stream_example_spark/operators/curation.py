@@ -189,12 +189,24 @@ def duplicated_span_stats(
             .alias("h"),
         ),
     )
-    # windows feed two consumers (the duplicate-count and the
-    # join-back); stage once (a staging table at 100 TB scale)
-    w = stage(
-        toks.filter(F.col("n_tokens") >= n)
-        .select("doc", F.explode(window_structs).alias("w"))
-        .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    # ONE tokenize+hash pass feeds all three consumers (duplicate
+    # count, join-back, final n_tokens projection): stage the
+    # pre-explode frame holding (doc, n_tokens, hashed windows) —
+    # a staging table at 100 TB scale.  Docs shorter than n carry a
+    # NULL window array (explode drops them) but keep their n_tokens
+    # row.  Staging pre-explode instead of post keeps the cache the
+    # same size while making n_tokens free — the former shape re-ran
+    # the tokenizing regex over the whole corpus a second time just to
+    # recompute n_tokens for the final join.
+    pre = stage(
+        toks.select(
+            "doc",
+            "n_tokens",
+            F.when(F.col("n_tokens") >= n, window_structs).alias("ws"),
+        )
+    )
+    w = pre.select("doc", F.explode("ws").alias("w")).select(
+        "doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
     )
     # duplicated = total occurrences > 1; NOT broadcast — at web scale
     # the duplicated-span set grows with the duplicate population, so
@@ -223,7 +235,7 @@ def duplicated_span_stats(
         )
     )
     return (
-        toks.select("doc", "n_tokens")
+        pre.select("doc", "n_tokens")
         .join(per_doc, "doc", "left")
         .select(
             F.col("doc").alias(id_col),

@@ -101,9 +101,20 @@ def release_staging(blocking: bool = False) -> int:
             )
         return 0
     n = 0
-    while reg:
-        reg.pop().unpersist(blocking)
-        n += 1
-    with _GLOBAL_LOCK:
-        _GLOBAL_STAGED -= n
+    try:
+        while reg:
+            df = reg.pop()
+            # decrement BEFORE unpersist: if unpersist raises (stopped
+            # session, gateway error), the frame is already popped, so
+            # leaving it counted would desync the diagnostic forever
+            with _GLOBAL_LOCK:
+                _GLOBAL_STAGED -= 1
+            df.unpersist(blocking)
+            n += 1
+    except Exception:
+        _LOG.debug(
+            "release_staging(): unpersist failed after %d release(s); "
+            "%d frame(s) remain registered on this thread", n, len(reg)
+        )
+        raise
     return n

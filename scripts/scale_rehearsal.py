@@ -243,17 +243,28 @@ def _measure_valve(spark, docs) -> dict:
 
     from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
 
+    # usig stays UNPERSISTED for the timed runs, matching the operator
+    # as shipped: persisting it hides size statistics behind an
+    # InMemoryRelation and flips the broadcast band joins to sort-merge
+    # (measured 2.2s -> 5.9s on the 10x tier), which would distort the
+    # absolute valved/unvalved wall times this function exists to
+    # record. A persisted COPY serves the untimed diagnostics only.
     usig = (
         dedup.simhash_signatures(docs, "doc_id", "text")
         .select("sig", "chunks")
         .distinct()
-        .persist()
     )
+    usig.persist()
     n_sigs = usig.count()
     banded = usig.select(
         "sig", F.explode(F.array(*dedup._manku_band_keys(F.col("sig")))).alias("bk")
     )
     max_bucket = banded.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    # diagnostics done — unpersist BEFORE the timed runs so they see
+    # the operator as shipped (recomputing signatures inline, size
+    # statistics visible to Catalyst -> broadcast band joins), not an
+    # InMemoryRelation that flips the joins to sort-merge
+    usig.unpersist(blocking=True)
     row = {
         "n_docs": docs.count(),
         "n_distinct_sigs": n_sigs,
@@ -288,11 +299,12 @@ def _measure_valve(spark, docs) -> dict:
         true_pairs_equal=tp_v == tp_u,
         candidate_cut=round(1 - n_v / max(n_u, 1), 4),
     )
-    usig.unpersist()
     return row
 
 
-def extreme_tier_rehearsal(spark, src_dir: str, ref_row: dict | None) -> dict:
+def extreme_tier_rehearsal(
+    spark, src_dir: str, ref_row: dict | None, max_df: int | None = None
+) -> dict:
     """100x tier (sf0.1 replicated to ~500k docs, disjoint per-replica
     vocabulary): the text-dedup candidate generators at a 1000x total
     span vs sf0.001. Measures the four operators whose banding/valving
@@ -328,8 +340,14 @@ def extreme_tier_rehearsal(spark, src_dir: str, ref_row: dict | None) -> dict:
     cand_df.unpersist()
     spark.catalog.clearCache()
 
+    # SAME max_df as the 10x reference row: the exponent below divides
+    # this tier's candidates by ref_row's, so the two tiers must run
+    # the identical operator configuration — a cap-free 100x tier vs a
+    # df-capped 10x row would overstate the marginal-decade growth
     cand, row["jaccard_sec"] = timed(
-        lambda: dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).count()
+        lambda: dedup.shingle_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_df=max_df
+        ).count()
     )
     row["jaccard_candidates"] = cand
     spark.catalog.clearCache()
@@ -578,7 +596,7 @@ def main() -> None:
     extreme = None
     if "--with-100x" in sys.argv:
         extreme = extreme_tier_rehearsal(
-            spark, SFS[-1][1], results.get("1.0-synth")
+            spark, SFS[-1][1], results.get("1.0-synth"), max_df=max_df
         )
         print("SCALE100X " + json.dumps(extreme), flush=True)
 

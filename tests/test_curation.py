@@ -127,3 +127,11 @@ def test_duplicated_spans_planted_coverage(spark):
     assert out[5]["n_dup_windows"] == 2
     assert out[5]["dup_tokens"] == 40
     assert abs(out[5]["dup_fraction"] - 1.0) < 1e-9
+    # drop the operator's staging cache: without this, the persisted
+    # frame leaks into whatever test runs next and inflates the
+    # staging counters the thread-scope test asserts on
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    assert release_staging(blocking=True) >= 1

@@ -42,7 +42,19 @@ def test_entry_contract(spark):
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
     # Rotation retired (round 7): exposed names must be the canonical
-    # catalog names, sorted — so the driver's 50-entry correctness
-    # window is exactly q01..q50. No aNN aliases.
-    assert list(qs) == sorted(SPECS), "queries() must expose sorted catalog names"
+    # catalog names in NUMERIC query order — so the driver's 50-entry
+    # correctness window is exactly q01..q50 even past q99 (plain
+    # lexicographic order would slot q100 between q10 and q11 and
+    # silently evict q50 from the window). No aNN aliases.
+    import re as _re
+
+    def _num(n):
+        m = _re.match(r"q(\d+)", n)
+        return (int(m.group(1)) if m else 10**9, n)
+
+    assert list(qs) == sorted(SPECS, key=_num), (
+        "queries() must expose catalog names in numeric q-order"
+    )
+    nums = [_num(n)[0] for n in qs]
+    assert nums == sorted(nums) and nums[:50] == list(range(1, 51))
     assert all(n.startswith("q") for n in qs)
