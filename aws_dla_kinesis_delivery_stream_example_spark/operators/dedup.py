@@ -253,6 +253,12 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
     both directions each round) — the standard scalable alternative to
     union-find, which cannot be distributed. Dedup components are tiny
     cliques in practice, so 2-3 iterations suffice at any scale.
+
+    Resource note: each iteration's ``localCheckpoint`` stores its
+    result; superseded checkpoints are freed by Spark's ContextCleaner
+    once the driver garbage-collects their references, so a long-lived
+    driver session accrues at most O(iterations) small label tables
+    between GCs (``import gc; gc.collect()`` forces the release).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -319,6 +325,11 @@ def cluster_survivors(
 
     Returns (cluster_id, survivor_doc, survivor_score, n_members,
     n_removed[, removed_<size_col>]) — one row per cluster.
+
+    Contract: ``score_col`` must be non-null and exactly comparable
+    (integers, e.g. q85 micro-units). A NULL score would make the
+    max_by ordering struct contain a null field, whose placement
+    engines disagree on — coalesce scores before calling.
     """
     j = clusters.join(scored, id_col)
     # struct comparison is lexicographic: max score first, then max(-id)

@@ -135,3 +135,63 @@ def test_duplicated_spans_planted_coverage(spark):
     )
 
     assert release_staging(blocking=True) >= 1
+
+
+def test_duplicated_spans_randomized_brute_force(spark):
+    """Randomized corpora vs an independent Python re-implementation
+    of the EXACTSUBSTR coverage semantics (same md5 60-bit window
+    keys, same interval-union rule): catches any drift in window
+    enumeration, dup counting, or coverage math that a fixed planted
+    fixture would miss."""
+    import hashlib
+    import random
+    import re
+    from collections import Counter
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    n = 5
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> real dups
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 30))), "s")
+            for i in range(40)
+        ]
+        # brute force: window hash counts across the corpus, then
+        # per-doc interval union of duplicated [pos, pos+n) windows
+        def toks(t):
+            return re.findall(r"[a-z0-9]+", t.lower())
+
+        win_h = {}
+        counts: Counter = Counter()
+        for doc_id, text, _ in rows:
+            tk = toks(text)
+            hs = []
+            for i in range(len(tk) - n + 1):
+                h = int(hashlib.md5(" ".join(tk[i : i + n]).encode()).hexdigest()[:15], 16)
+                hs.append(h)
+                counts[h] += 1
+            win_h[doc_id] = (len(tk), hs)
+        expected = {}
+        for doc_id, (L, hs) in win_h.items():
+            dup_pos = [i + 1 for i, h in enumerate(hs) if counts[h] > 1]
+            cov = 0
+            for a, b in zip(dup_pos, dup_pos[1:] + [None]):
+                cov += min(b - a, n) if b is not None else n
+            expected[doc_id] = (L, len(dup_pos), cov)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in curation.duplicated_span_stats(
+                _docs(spark, rows), "doc_id", "text", n=n
+            ).collect()
+        }
+        release_staging(blocking=True)
+        assert set(out) == set(expected)
+        for doc_id, (L, n_dup, cov) in expected.items():
+            r = out[doc_id]
+            assert r["n_tokens"] == L, (seed, doc_id)
+            assert r["n_dup_windows"] == n_dup, (seed, doc_id)
+            assert r["dup_tokens"] == cov, (seed, doc_id)

@@ -172,11 +172,18 @@ def test_staging_released_after_sweep(spark):
     from .conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents")
+    # scope the assertion to THIS sweep's delta: earlier tests may have
+    # run localCheckpoint-based operators (duplicate_clusters in
+    # q49/q94) whose superseded checkpoint RDDs linger until the
+    # driver GC triggers the ContextCleaner — out of scope here
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     tfidf.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.5).count()
     dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    during = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert len(during - before) > 0
     assert release_staging(blocking=True) >= 2
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set(), "staging sweep left its own caches behind"
 
 
 def test_staging_registry_is_thread_scoped(spark):
