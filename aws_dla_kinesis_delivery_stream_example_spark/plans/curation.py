@@ -358,3 +358,207 @@ def q93_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.duplicated_span_stats(docs, "doc_id", "text", n=20).orderBy(
         "doc_id"
     )
+
+
+# Per-source token budget for the pipeline's final stage — small
+# enough to ENGAGE at every test SF (q63's 20k budget never binds on
+# the small corpora, which would leave the stage untested).
+_PIPE_BUDGET = 500
+
+# The pipeline keeps a STRICTER quality bar than the q85 audit gate
+# (0.8 vs 0.5 micro-unit probability): on the test corpus every doc
+# scores 0.78-0.85, so the audit threshold would make this stage a
+# no-op and the funnel would never demonstrate a quality drop — the
+# usual production move of tuning the keep-bar to the corpus's score
+# distribution, with the same model either way. Causal evidence that
+# the gate drops junk regardless of corpus lives in
+# tests/test_planted_positives.py.
+_PIPE_QUALITY_MIN = 800_000
+
+
+def _q95_oracle() -> str:
+    from .llm import jaccard_clusters_cte
+    from .quality import QUALITY_SCORED_CTE
+
+    return f"""
+        WITH RECURSIVE
+        inp AS (SELECT * FROM documents WHERE doc_id % {_BENCH_MOD} <> 0),
+        ex AS (SELECT min(doc_id) AS doc_id FROM inp GROUP BY text),
+        e AS (SELECT i.* FROM inp i JOIN ex USING (doc_id)),
+        {jaccard_clusters_cte('e')},
+        {QUALITY_SCORED_CTE},
+        surv AS (
+            SELECT cluster_id, doc AS survivor_doc
+            FROM (SELECT c.cluster_id, c.doc, s.p_u
+                  FROM j_clusters c JOIN q_scored s ON s.doc_id = c.doc)
+            QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY p_u DESC, doc ASC) = 1
+        ),
+        nd AS (
+            SELECT * FROM e WHERE doc_id NOT IN (SELECT doc FROM j_clusters)
+            UNION ALL
+            SELECT e.* FROM e JOIN surv ON e.doc_id = surv.survivor_doc
+        ),
+        qual AS (
+            SELECT nd.* FROM nd JOIN q_scored s ON s.doc_id = nd.doc_id
+            WHERE s.p_u >= {_PIPE_QUALITY_MIN}
+        ),
+        qtoks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM qual
+        ),
+        qsh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(tk, i, i + 3), ' ') AS shingle
+            FROM qtoks, UNNEST(generate_series(1, greatest(len(tk) - 3, 0))) AS t(i)
+        ),
+        btoks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+        ),
+        bsh AS (
+            SELECT DISTINCT array_to_string(array_slice(tk, i, i + 3), ' ') AS shingle
+            FROM btoks, UNNEST(generate_series(1, greatest(len(tk) - 3, 0))) AS t(i)
+        ),
+        hit AS (SELECT DISTINCT q.doc_id FROM qsh q JOIN bsh USING (shingle)),
+        dec AS (
+            SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        ),
+        tokc AS (
+            SELECT source, doc_id,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok
+            FROM dec
+        ),
+        bud AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM tokc
+        ),
+        kept AS (SELECT * FROM bud WHERE cum <= {_PIPE_BUDGET}),
+        f0 AS (SELECT source, count(*) AS c FROM inp GROUP BY source),
+        f1 AS (SELECT source, count(*) AS c FROM e GROUP BY source),
+        f2 AS (SELECT source, count(*) AS c FROM nd GROUP BY source),
+        f3 AS (SELECT source, count(*) AS c FROM qual GROUP BY source),
+        f4 AS (SELECT source, count(*) AS c FROM dec GROUP BY source),
+        f5 AS (SELECT source, count(*) AS c, sum(n_tok) AS tk FROM kept GROUP BY source)
+        SELECT f0.source,
+               CAST(f0.c AS BIGINT) AS n_input,
+               CAST(coalesce(f1.c, 0) AS BIGINT) AS n_exact,
+               CAST(coalesce(f2.c, 0) AS BIGINT) AS n_neardup,
+               CAST(coalesce(f3.c, 0) AS BIGINT) AS n_quality,
+               CAST(coalesce(f4.c, 0) AS BIGINT) AS n_decontam,
+               CAST(coalesce(f5.c, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(f5.tk, 0) AS BIGINT) AS tokens_kept
+        FROM f0
+        LEFT JOIN f1 USING (source)
+        LEFT JOIN f2 USING (source)
+        LEFT JOIN f3 USING (source)
+        LEFT JOIN f4 USING (source)
+        LEFT JOIN f5 USING (source)
+        ORDER BY source
+    """
+
+
+@query(
+    "q95_curation_pipeline",
+    oracle=_q95_oracle(),
+    description="End-to-end batch curation pipeline, composed from the "
+    "catalog's own operators: exact dedup -> near-dup cluster "
+    "resolution with quality-aware survivor selection (q49+q94) -> "
+    "q85 quality model at a stricter keep-bar -> benchmark "
+    "decontamination (q64) -> per-"
+    "source token budget (q63) — with a per-source funnel audit (doc "
+    "counts surviving each stage + tokens kept) as the output, the "
+    "end-state a training-data pipeline actually ships",
+    tags=("llm", "curation", "dedup", "pipeline", "iterative"),
+)
+def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: every stage is a catalog operator that already
+    carries its own 100 TB design note (hash-agg exact dedup, staged
+    shingles + df-capped pair join, iterative components, max_by
+    survivor agg, broadcast bench shingle set, per-source window
+    cumsum). Each stage's output is STAGED (`stage()` — a staging
+    table between pipeline stages at 100 TB) because it feeds both the
+    next stage and its own funnel count; without the boundary, every
+    funnel aggregate would re-derive its whole chain prefix and the
+    pipeline's work would grow quadratically in stage count (measured:
+    96 exchanges in the naive plan vs ~20 staged)."""
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup
+    from ..operators.staging import stage
+    from .quality import quality_p_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % _BENCH_MOD == 0
+    bench, inp = docs.filter(bench_pred), docs.filter(~bench_pred)
+
+    # 1 — exact dedup (min-id survivor per text)
+    exact_ids = inp.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    e = stage(inp.join(exact_ids.select("doc_id"), "doc_id", "left_semi"))
+
+    # 2 — near-dup clusters over the exact survivors; keep the best-
+    # quality member per cluster (q94), pass singletons through
+    pairs = dedup.shingle_jaccard_pairs(e, "doc_id", "text", n=5, threshold=0.4)
+    clusters = dedup.duplicate_clusters(pairs).select(
+        "doc", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    scored = e.select(
+        F.col("doc_id").alias("doc"), quality_p_u("text").alias("p_u"), "n_chars"
+    )
+    surv = dedup.cluster_survivors(
+        clusters, scored, id_col="doc", score_col="p_u", size_col="n_chars"
+    )
+    nd_ids = (
+        e.join(clusters.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti")
+        .select("doc_id")
+        .unionAll(surv.select(F.col("survivor_doc").alias("doc_id")))
+    )
+    nd = stage(e.join(nd_ids, "doc_id", "left_semi"))
+
+    # 3 — quality gate (q85's model at the pipeline's stricter bar)
+    qual = stage(nd.filter(quality_p_u("text") >= _PIPE_QUALITY_MIN))
+
+    # 4 — decontamination vs the benchmark docs (broadcast shingle set)
+    hits = curation.contaminated_ids(qual, bench, "doc_id", "text", n=4)
+    dec = stage(qual.join(hits, "doc_id", "left_anti"))
+
+    # 5 — per-source token budget in doc_id order
+    tokc = dec.select("source", "doc_id", TX.bpe_token_count("text").alias("n_tok"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    kept = tokc.withColumn("cum", F.sum("n_tok").over(w)).filter(
+        F.col("cum") <= _PIPE_BUDGET
+    )
+
+    # funnel audit: one tiny agg per stage, left-joined off the input
+    def _f(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    funnel = (
+        _f(inp, "n_input")
+        .join(_f(e, "n_exact"), "source", "left")
+        .join(_f(nd, "n_neardup"), "source", "left")
+        .join(_f(qual, "n_quality"), "source", "left")
+        .join(_f(dec, "n_decontam"), "source", "left")
+        .join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("n_tok").alias("tokens_kept"),
+            ),
+            "source",
+            "left",
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return funnel.select(
+        "source",
+        "n_input",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in ("n_exact", "n_neardup", "n_quality", "n_decontam", "n_kept", "tokens_kept")
+        ],
+    ).orderBy("source")

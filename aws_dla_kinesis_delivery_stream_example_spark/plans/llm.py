@@ -586,15 +586,22 @@ def q36_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Connected components of the exact-Jaccard(>=0.4) 5-gram pair graph
-# as a recursive-CTE fragment — the oracle counterpart of
-# `shingle_jaccard_pairs` + `duplicate_clusters`, shared by q49
-# (cluster resolution) and q94 (quality-aware survivor selection).
-# Yields cte `j_clusters` = (doc, cluster_id = min doc id reachable).
-_JACCARD_CLUSTERS_CTE = """
+def jaccard_clusters_cte(rel: str = "documents") -> str:
+    """Connected components of the exact-Jaccard(>=0.4) 5-gram pair
+    graph as a recursive-CTE fragment over relation ``rel`` — the
+    oracle counterpart of `shingle_jaccard_pairs` +
+    `duplicate_clusters`, shared by q49 (cluster resolution), q94
+    (quality-aware survivor selection), and q95 (the curation
+    pipeline, which clusters the exact-dedup survivors rather than raw
+    documents). Yields cte `j_clusters` = (doc, cluster_id = min doc
+    id reachable)."""
+    return _JACCARD_CLUSTERS_CTE_TEMPLATE.replace("{rel}", rel)
+
+
+_JACCARD_CLUSTERS_CTE_TEMPLATE = """
         toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-            FROM documents
+            FROM {rel}
         ),
         sh AS (
             SELECT DISTINCT doc_id,
@@ -626,6 +633,8 @@ _JACCARD_CLUSTERS_CTE = """
             FROM (SELECT src AS doc, dst FROM reach)
             GROUP BY doc
         )"""
+
+_JACCARD_CLUSTERS_CTE = jaccard_clusters_cte()
 
 
 @query(

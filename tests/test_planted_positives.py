@@ -104,3 +104,66 @@ def test_q05_anti_join_returns_planted_orphans(spark, planted_sf_dir):
         for r in SPECS["q05_anti_join"].spark(spark, planted_sf_dir).collect()
     ]
     assert got == [(1, "Customer#1"), (3, "Customer#3")]
+
+
+@pytest.fixture(scope="module")
+def pipeline_sf_dir(tmp_path_factory) -> str:
+    """An sf-dir where EVERY q95 pipeline stage has exactly one doc
+    planted for it to drop — including exact duplicates, which the
+    driver corpus does not contain at all (its only duplication is
+    near-dup), so the exact stage can only be evidenced here."""
+    d = tmp_path_factory.mktemp("pipeline_sf")
+    near_base = (
+        "the alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo the sierra"
+    )
+    texts = {
+        # 1/2: exact duplicates -> exact stage keeps min id (1)
+        1: "the whiskey xray yankee zulu is one of two three four five six seven",
+        2: "the whiskey xray yankee zulu is one of two three four five six seven",
+        # 3/4: near-duplicates (16/17 shared 5-gram shingles) -> one survivor
+        3: near_base,
+        4: near_base + " extra",
+        # 5: junk -> quality gate drops it (alpha 0, punct-heavy)
+        5: "1234 5678 !!! ??? ###",
+        # 6: contaminated -> shares the bench doc's 4-gram
+        6: "zebra quokka lemur axolotl are in the zoo with the animals and the keepers",
+        # 7: clean keeper
+        7: "the quick brown fox jumps over the lazy dog again today",
+        # 8: 600-token doc -> blows the 500-token source budget
+        8: " ".join(f"the pad{i}" for i in range(300)),
+        # 50: the benchmark doc (doc_id % 50 == 0 -> excluded from input)
+        50: "zebra quokka lemur axolotl pangolin",
+    }
+    ids = sorted(texts)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    return str(d)
+
+
+def test_q95_every_pipeline_stage_drops_its_planted_doc(spark, pipeline_sf_dir):
+    """The funnel must show exactly one doc removed per stage: 8 in,
+    7 after exact dedup, 6 after near-dup survivor selection, 5 after
+    the quality gate, 4 after decontamination, 3 under the token
+    budget (the 600-token doc cannot fit). A wrong join type, regex,
+    threshold direction, or window order at ANY stage breaks a
+    specific number here."""
+    rows = SPECS["q95_curation_pipeline"].spark(spark, pipeline_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["source"] == "s"
+    assert r["n_input"] == 8
+    assert r["n_exact"] == 7, "exact dup (doc 2) not removed"
+    assert r["n_neardup"] == 6, "near-dup cluster {3,4} not collapsed"
+    assert r["n_quality"] == 5, "junk doc 5 not dropped by the gate"
+    assert r["n_decontam"] == 4, "contaminated doc 6 not dropped"
+    assert r["n_kept"] == 3, "600-token doc 8 should exceed the budget"
+    assert 0 < r["tokens_kept"] <= 100
