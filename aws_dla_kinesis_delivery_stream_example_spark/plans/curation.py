@@ -383,7 +383,7 @@ def _q95_oracle() -> str:
     return f"""
         WITH RECURSIVE
         inp AS (SELECT * FROM documents WHERE doc_id % {_BENCH_MOD} <> 0),
-        ex AS (SELECT min(doc_id) AS doc_id FROM inp GROUP BY text),
+        ex AS (SELECT min(doc_id) AS doc_id FROM inp GROUP BY md5(text)),
         e AS (SELECT i.* FROM inp i JOIN ex USING (doc_id)),
         {jaccard_clusters_cte('e')},
         {QUALITY_SCORED_CTE},
@@ -495,9 +495,20 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_pred = F.col("doc_id") % _BENCH_MOD == 0
     bench, inp = docs.filter(bench_pred), docs.filter(~bench_pred)
 
-    # 1 — exact dedup (min-id survivor per text)
-    exact_ids = inp.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    e = stage(inp.join(exact_ids.select("doc_id"), "doc_id", "left_semi"))
+    # 1 — exact dedup (min-id survivor per CONTENT DIGEST — the q65
+    # convention: the shuffle carries 16-byte keys, never document
+    # bodies, per the operator family's design note). The staged
+    # survivor frame also carries the q85 quality score as a column so
+    # the model's 4 regex passes run ONCE here and stages 2 and 3 read
+    # a plain column.
+    exact_ids = inp.groupBy(curation.content_digest("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    e = stage(
+        inp.join(exact_ids.select("doc_id"), "doc_id", "left_semi").withColumn(
+            "p_u", quality_p_u("text")
+        )
+    )
 
     # 2 — near-dup clusters over the exact survivors; keep the best-
     # quality member per cluster (q94), pass singletons through
@@ -505,9 +516,7 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.duplicate_clusters(pairs).select(
         "doc", F.col("cluster_id").cast("long").alias("cluster_id")
     )
-    scored = e.select(
-        F.col("doc_id").alias("doc"), quality_p_u("text").alias("p_u"), "n_chars"
-    )
+    scored = e.select(F.col("doc_id").alias("doc"), "p_u", "n_chars")
     surv = dedup.cluster_survivors(
         clusters, scored, id_col="doc", score_col="p_u", size_col="n_chars"
     )
@@ -518,8 +527,9 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = stage(e.join(nd_ids, "doc_id", "left_semi"))
 
-    # 3 — quality gate (q85's model at the pipeline's stricter bar)
-    qual = stage(nd.filter(quality_p_u("text") >= _PIPE_QUALITY_MIN))
+    # 3 — quality gate (q85's model at the pipeline's stricter bar;
+    # p_u was computed once into the staged `e`)
+    qual = stage(nd.filter(F.col("p_u") >= _PIPE_QUALITY_MIN))
 
     # 4 — decontamination vs the benchmark docs (broadcast shingle set)
     hits = curation.contaminated_ids(qual, bench, "doc_id", "text", n=4)

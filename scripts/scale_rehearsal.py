@@ -248,7 +248,8 @@ def _measure_valve(spark, docs) -> dict:
     # InMemoryRelation and flips the broadcast band joins to sort-merge
     # (measured 2.2s -> 5.9s on the 10x tier), which would distort the
     # absolute valved/unvalved wall times this function exists to
-    # record. A persisted COPY serves the untimed diagnostics only.
+    # record. It is persisted only for the untimed diagnostics below
+    # and unpersisted again before the first timed run.
     usig = (
         dedup.simhash_signatures(docs, "doc_id", "text")
         .select("sig", "chunks")
@@ -276,9 +277,14 @@ def _measure_valve(spark, docs) -> dict:
     assert max_bucket > 256, f"valve would not engage: max bucket {max_bucket}"
 
     def run(max_band_bucket):
+        # persist the candidate OUTPUT (the main-loop protocol): the
+        # untimed true-pair decomposition then reads the materialized
+        # candidates instead of re-executing the whole band join —
+        # output-side persistence does not hide the INPUT's statistics,
+        # so the timed join strategy is unaffected
         cand = dedup.simhash_band_candidates(
             usig, max_hamming=3, max_band_bucket=max_band_bucket
-        )
+        ).persist()
         n, sec = timed(cand.count)
         tp = {
             (r["sig_a"], r["sig_b"])
@@ -286,6 +292,7 @@ def _measure_valve(spark, docs) -> dict:
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3
             ).collect()
         }
+        cand.unpersist()
         return n, sec, tp
 
     n_v, sec_v, tp_v = run(256)

@@ -45,16 +45,14 @@ def test_entry_contract(spark):
     # catalog names in NUMERIC query order — so the driver's 50-entry
     # correctness window is exactly q01..q50 even past q99 (plain
     # lexicographic order would slot q100 between q10 and q11 and
-    # silently evict q50 from the window). No aNN aliases.
+    # silently evict q50 from the window). No aNN aliases. The sort
+    # key is the entry module's own (one source of truth); the
+    # first-50-window invariant is asserted independently below.
     import re as _re
 
-    def _num(n):
-        m = _re.match(r"q(\d+)", n)
-        return (int(m.group(1)) if m else 10**9, n)
-
-    assert list(qs) == sorted(SPECS, key=_num), (
+    assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
         "queries() must expose catalog names in numeric q-order"
     )
-    nums = [_num(n)[0] for n in qs]
+    nums = [int(_re.match(r"q(\d+)", n).group(1)) for n in qs]
     assert nums == sorted(nums) and nums[:50] == list(range(1, 51))
     assert all(n.startswith("q") for n in qs)

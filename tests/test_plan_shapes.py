@@ -76,8 +76,9 @@ def test_exchange_budgets_hold(spark):
     for name, budget in (
         ("q79_retention_cohorts", 4),
         ("q80_session_funnel", 2),
-        # q93 (round 7): window-hash agg + semi join back + doc window/
-        # agg (shared partitioning) + toks join + final sort = 5
+        # q93 (round 7): window-hash dup-count agg + semi join back +
+        # per-doc window/agg (shared partitioning) + join of per-doc
+        # stats onto the staged pre-explode frame + final sort = 5
         ("q93_duplicated_spans", 5),
         # q94 (round 7): clusters⋈scores join + survivor agg + final
         # sort = 3 (4 if AQE swaps the broadcast for a shuffle join);
