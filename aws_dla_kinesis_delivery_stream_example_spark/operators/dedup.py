@@ -329,8 +329,23 @@ def cluster_survivors(
     Contract: ``score_col`` must be non-null and exactly comparable
     (integers, e.g. q85 micro-units). A NULL score would make the
     max_by ordering struct contain a null field, whose placement
-    engines disagree on — coalesce scores before calling.
+    engines disagree on — coalesce scores before calling. And
+    ``id_col`` must be NUMERIC: the tie-break negates it, and under
+    non-ANSI Spark negating a string casts to NULL, which would make
+    the struct ordering engine-dependent instead of failing — so the
+    type is validated here and a non-numeric id raises immediately.
     """
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    id_type = dict(clusters.dtypes).get(id_col)
+    if id_type is None or not (
+        id_type in _NUMERIC or id_type.startswith("decimal")
+    ):
+        raise TypeError(
+            f"cluster_survivors: id_col {id_col!r} must be numeric for the "
+            f"max_by(id, struct(score, -id)) tie-break, got {id_type!r} — "
+            "hash or zip string ids to a numeric surrogate first "
+            "(e.g. xxhash64(id))"
+        )
     j = clusters.join(scored, id_col)
     # struct comparison is lexicographic: max score first, then max(-id)
     # = min id — the deterministic tie-break both engines agree on for

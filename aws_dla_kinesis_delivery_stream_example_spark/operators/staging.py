@@ -104,12 +104,23 @@ def release_staging(blocking: bool = False) -> int:
     try:
         while reg:
             df = reg.pop()
-            # decrement BEFORE unpersist: if unpersist raises (stopped
-            # session, gateway error), the frame is already popped, so
-            # leaving it counted would desync the diagnostic forever
+            # decrement BEFORE unpersist so the diagnostic counter and
+            # the registry move together...
             with _GLOBAL_LOCK:
                 _GLOBAL_STAGED -= 1
-            df.unpersist(blocking)
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                # ...but on failure (transient gateway error, stopped
+                # session) push the frame BACK and re-increment before
+                # re-raising: the frame may still be persisted, and
+                # dropping it from the registry would leak the cache
+                # silently with no retry path — a later
+                # release_staging() retry must still see it.
+                reg.append(df)
+                with _GLOBAL_LOCK:
+                    _GLOBAL_STAGED += 1
+                raise
             n += 1
     except Exception:
         _LOG.debug(

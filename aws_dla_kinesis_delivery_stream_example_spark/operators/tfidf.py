@@ -169,7 +169,20 @@ def tfidf_cosine_pairs(
 
     The postings table is persisted as staging (feeds norms + both
     join sides); after the terminal action on the returned frame, call
-    ``staging.release_staging()`` to drop it (bench/rehearsal do)."""
+    ``staging.release_staging()`` to drop it (bench/rehearsal do).
+
+    RECALL WARNING — do not use absolute ``max_df`` for recall-
+    critical dedup. The df cap prunes the candidate join's hottest
+    terms, and duplicated *templates* live exactly in those high-df
+    terms: at the sf0.1 rehearsal tier (SCALE_REHEARSAL_r07.json,
+    SCALE.md §TF-IDF), ``max_df=50`` absolute mode found **0 of 256**
+    planted true pairs and relative mode (``max_df_frac``) ~5%, while
+    :func:`~..operators.dedup.minhash_near_duplicates` found 100% at
+    linear candidate growth. TF-IDF cosine is the right operator for
+    *content* similarity over distinctive vocabulary (retrieval-ish
+    workloads, BM25 companions); for near-duplicate detection where
+    missing a pair matters, use MinHash — it is this repo's designated
+    recall operator."""
     w = stage(
         tfidf_postings(
             docs,

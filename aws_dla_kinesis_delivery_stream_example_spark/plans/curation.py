@@ -483,8 +483,10 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     table between pipeline stages at 100 TB) because it feeds both the
     next stage and its own funnel count; without the boundary, every
     funnel aggregate would re-derive its whole chain prefix and the
-    pipeline's work would grow quadratically in stage count (measured:
-    96 exchanges in the naive plan vs ~20 staged)."""
+    pipeline's work would grow quadratically in stage count (measured
+    by plan-tree walk, cached subtrees excluded: 94 exchanges with
+    stage() dropped vs 12 staged — pinned at budget 16 in
+    tests/test_plan_shapes.py::test_q95_staged_exchange_budget)."""
     from pyspark.sql import Window as W
 
     from ..operators import dedup

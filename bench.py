@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (  # noqa: E402
     release_staging,
+    staged_elsewhere,
 )
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs  # noqa: E402
 from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark  # noqa: E402
@@ -73,6 +74,15 @@ def bench_queries(spark) -> dict[str, float]:
                 # garbage doesn't tax the next one's measurement.
                 release_staging()
                 spark.catalog.clearCache()
+                # bench is single-threaded: any frame still counted as
+                # staged on another thread is a cross-thread staging
+                # leak — fail the artifact run loudly, don't let it
+                # silently accrue cache across queries
+                leaked = staged_elsewhere()
+                assert leaked == 0, (
+                    f"{name}: {leaked} staged frame(s) leaked across "
+                    "threads after release_staging()"
+                )
                 spark._jvm.System.gc()
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point

@@ -85,10 +85,18 @@ def main() -> None:
             # scratch; don't let 80 queries' worth accumulate
             from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
                 release_staging,
+                staged_elsewhere,
             )
 
             release_staging()
             spark.catalog.clearCache()
+            # single-threaded loop: a frame still counted as staged on
+            # another thread is a cross-thread staging leak — fail the
+            # artifact run loudly instead of accruing cache
+            leaked = staged_elsewhere()
+            assert leaked == 0, (
+                f"{name}: {leaked} staged frame(s) leaked across threads"
+            )
         status = "FAIL" if entry["err"] and entry["err"] != "no_oracle" else (
             "rows-only" if entry["err"] == "no_oracle" else "ok")
         print(

@@ -195,3 +195,66 @@ def test_duplicated_spans_randomized_brute_force(spark):
             assert r["n_tokens"] == L, (seed, doc_id)
             assert r["n_dup_windows"] == n_dup, (seed, doc_id)
             assert r["dup_tokens"] == cov, (seed, doc_id)
+
+
+def test_q95_token_budget_boundary_tie(spark, tmp_path):
+    """Planted budget-boundary tie (round-7 verdict 'Next round #6'):
+    the per-source cumsum keeps docs with ``cum <= 500`` in doc_id
+    order, and a doc whose cumulative count lands EXACTLY on 500 is
+    the off-by-one class two engines' window framing could disagree
+    on (`<` vs `<=`, RANGE vs ROWS peers). Three clean docs with
+    token counts 200 / 300 / 11: doc 2 ties the boundary at cum=500
+    (must be KEPT on both engines), doc 3 at cum=511 must be dropped.
+    Runs the full q95 Spark plan AND its DuckDB oracle on the planted
+    corpus and compares values exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+    from .oracle_utils import canonicalize
+
+    # "the wN" pad style passes the q85 gate (stopword + alpha heavy),
+    # and disjoint vocab keeps 5-gram Jaccard between docs at 0.
+    texts = {
+        1: " ".join(f"the apple{i}" for i in range(100)),  # 200 tokens
+        2: " ".join(f"the banana{i}" for i in range(150)),  # 300 tokens, cum=500
+        3: "the quick brown fox jumps over the lazy dog again today",  # 11, cum=511
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    spec = all_specs()["q95_curation_pipeline"]
+    try:
+        spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    finally:
+        release_staging(blocking=True)
+        spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')"
+    )
+    duck_pdf = con.execute(spec.oracle).fetchdf()
+    con.close()
+
+    assert len(spark_pdf) == 1
+    r = spark_pdf.iloc[0]
+    # the boundary doc (cum == budget exactly) is kept; the next is not
+    assert int(r["n_kept"]) == 2
+    assert int(r["tokens_kept"]) == 500
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert canonicalize(spark_pdf) == canonicalize(duck_pdf)

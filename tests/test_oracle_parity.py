@@ -41,18 +41,32 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Rotation retired (round 7): exposed names must be the canonical
-    # catalog names in NUMERIC query order — so the driver's 50-entry
-    # correctness window is exactly q01..q50 even past q99 (plain
-    # lexicographic order would slot q100 between q10 and q11 and
-    # silently evict q50 from the window). No aNN aliases. The sort
-    # key is the entry module's own (one source of truth); the
-    # first-50-window invariant is asserted independently below.
+    # Round-8 window shift (README §Rotation): exposed names are the
+    # canonical catalog names, but insertion order puts q46..q95 FIRST
+    # so the driver's 50-entry correctness window covers the round-7
+    # additions q93-q95 and the refactored q85. Each block is in
+    # NUMERIC query order (lexicographic would slot q100 between q10
+    # and q11 and silently evict the window tail). No aNN aliases.
+    # The sort key is the entry module's own (one source of truth);
+    # the window invariant is asserted independently below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
-        "queries() must expose catalog names in numeric q-order"
+        "queries() must expose catalog names in the window order"
     )
-    nums = [int(_re.match(r"q(\d+)", n).group(1)) for n in qs]
-    assert nums == sorted(nums) and nums[:50] == list(range(1, 51))
-    assert all(n.startswith("q") for n in qs)
+    # Guard the regex per-name so a future non-qNN exposed name fails
+    # with a readable message, not AttributeError on NoneType.
+    matches = {n: _re.match(r"q(\d+)", n) for n in qs}
+    bad = [n for n, m in matches.items() if m is None]
+    assert not bad, f"non-canonical exposed names: {bad}"
+    nums = [int(matches[n].group(1)) for n in qs]
+    top = mod._WINDOW_START
+    window = [n for n in nums if n >= top]
+    rest = [n for n in nums if n < top]
+    assert nums[: len(window)] == sorted(window), "window block not numeric-ordered"
+    assert nums[len(window):] == sorted(rest), "tail block not numeric-ordered"
+    # Driver records the FIRST 50 entries: they must be exactly the
+    # window q46..q95 this round (≥50 catalog members above the start).
+    assert nums[:50] == list(range(top, top + 50)), (
+        f"driver window is not q{top}..q{top + 49}"
+    )

@@ -70,6 +70,27 @@ def test_aggregation_has_map_side_partial(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def _exchanges_above_staging(node) -> int:
+    """Count Exchange nodes in the physical-plan TREE, treating
+    InMemoryTableScan (a staged boundary) as a leaf and descending
+    through AQE wrappers. The plan *string* is unusable for staged
+    plans: toString() inlines each cached relation's subtree under
+    every one of its scans, so q95's string shows 132 'Exchange'
+    occurrences for a 12-exchange execution."""
+    name = node.nodeName()
+    n = 1 if "Exchange" in name else 0
+    if "InMemoryTableScan" in name:
+        return n  # staged boundary: the cached subtree runs once, elsewhere
+    if "AdaptiveSparkPlan" in name:  # LeafExecNode wrapping the real plan
+        return n + _exchanges_above_staging(node.executedPlan())
+    if "QueryStage" in name:  # materialized AQE stage wrapper
+        return n + _exchanges_above_staging(node.plan())
+    it = node.children().iterator()
+    while it.hasNext():
+        n += _exchanges_above_staging(it.next())
+    return n
+
+
 def test_exchange_budgets_hold(spark):
     """The exchange counts the round-4 plan audit measured; more
     exchanges than this means a shuffle crept in."""
@@ -89,6 +110,27 @@ def test_exchange_budgets_hold(spark):
         plan = plan_of(spark, name)
         n = plan.count("Exchange")
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_q95_staged_exchange_budget(spark):
+    """q95's docstring claim ('96 exchanges naive vs ~20 staged') as a
+    pinned assertion: the exchange count ABOVE the stage() boundaries
+    (tree walk, cached subtrees excluded) is 12 as of round 8; budget
+    16 allows AQE broadcast->shuffle swaps. Dropping one stage() call
+    re-derives that stage's whole chain prefix inside every funnel
+    aggregate and blows far past the budget (verified: removing the
+    `qual` stage alone pushes the count to 20+), so this fails CI
+    instead of silently restoring the quadratic re-derivation."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q95_curation_pipeline"].spark(spark, SF)
+    try:
+        n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+    finally:
+        release_staging()
+    assert n <= 16, f"q95: {n} exchanges above staging (budget 16)"
 
 
 def test_window_queries_single_sort_per_key(spark):
