@@ -5,17 +5,20 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q95``), in a round-8 WINDOW
+Naming: canonical catalog names (``q01..q100``), in a round-8 WINDOW
 order: the driver's correctness artifact records only the FIRST 50
-dict entries, so this round exposes ``q46..q95`` first (then
-``q01..q45``) to earn fresh driver hash rows for the round-7
-additions q93-q95 and the refactored q85, per the round-7 verdict's
-top ask.  Names are NOT aliased — same canonical ``qNN``, same
-QuerySpec, same oracle; only dict insertion order moves.  q01-q45 all
-carry fresh round-7 driver rows, so nothing loses hard coverage.
-Round 9 returns to canonical numeric order (q01 first).  The
-per-round ledger lives in README §Rotation and the full-catalog
-artifact is CORRECTNESS_local_r{N}.json every round.
+dict entries, so this round exposes ``q51..q100`` first (then
+``q01..q50``) to earn fresh driver hash rows for the round-7
+additions q93-q95, the refactored q85 (the round-7 verdict's top ask,
+whose Done criterion is green rows for q51-q95), and the round-8
+additions q96-q100.  Names are NOT aliased — same canonical ``qNN``,
+same QuerySpec, same oracle; only dict insertion order moves.
+q01-q50 all carry fresh round-7 driver rows, so nothing loses hard
+coverage (q36's row predates this round's threshold recalibration;
+its refreshed row lands in round 9).  Round 9 returns to canonical
+numeric order (q01 first).  The per-round ledger lives in README
+§Rotation and the full-catalog artifact is
+CORRECTNESS_local_r{N}.json every round.
 """
 
 from __future__ import annotations
@@ -28,15 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # First catalog number of the driver's 50-entry window this round.
-# Round 8: 46 (window q46..q95).  Set back to 1 in round 9+.
-_WINDOW_START = 46
+# Round 8: 51 (window q51..q100).  Set back to 1 in round 9+.
+_WINDOW_START = 51
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-8 window order: q46..q95 first, then q01..q45 — each
+    """Round-8 window order: q51..q100 first, then q01..q50 — each
     block in NUMERIC query order (q2 < q10 < q100, not lexicographic;
-    a plain sorted() would slot a future q100 between q10 and q11 and
-    silently evict the window's tail)."""
+    a plain sorted() would slot q100 between q10 and q11 and silently
+    evict the window's tail)."""
     m = re.match(r"q(\d+)", name)
     n = int(m.group(1)) if m else 10**9
     return (0 if n >= _WINDOW_START else 1, n, name)
@@ -52,8 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order is the round-8 window order (module docstring):
-    q46..q95 first, so the driver's 50-entry correctness window is
-    pinned to exactly q46..q95 this round, then q01..q45.
+    q51..q100 first, so the driver's 50-entry correctness window is
+    pinned to exactly q51..q100 this round, then q01..q50.
     """
     specs = all_specs()
     return {

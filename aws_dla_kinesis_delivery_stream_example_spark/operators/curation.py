@@ -74,6 +74,62 @@ def contaminated_ids(
     )
 
 
+def contamination_overlap(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Per-candidate-doc benchmark overlap FRACTION — the graded
+    refinement of :func:`contaminated_ids`' boolean flag (the GPT-3
+    appendix-C style "n-gram overlap with eval sets" audit): for every
+    candidate document, what share of its distinct word ``n``-grams
+    appears anywhere in the benchmark set. A pipeline thresholds this
+    (drop at >= 10%, review at >= 1%) instead of dropping on a single
+    shared shingle.
+
+    Returns (id_col, n_shingles, n_hit, overlap_frac) — one row per
+    candidate doc that has >= 1 shingle (docs shorter than ``n`` words
+    produce none, same exclusion as ``boilerplate_ratio``);
+    overlap_frac is rounded to 4 dp on both engines.
+
+    100 TB shape: identical to ``contaminated_ids`` — the benchmark
+    shingle set is distinct + broadcast (a real eval suite is MBs, not
+    TBs), candidate shingles stream through one map-side hash join,
+    and the per-doc ratio is a map-side-combinable count aggregation.
+    No shuffle grows with the benchmark; everything else is linear in
+    candidate corpus tokens.
+    """
+    from .dedup import _shingle_hash_rows
+
+    bench_sh = (
+        _shingle_hash_rows(benchmark, id_col, text_col, n)
+        .select(F.col("h").alias("shingle"))
+        .distinct()
+    )
+    cand_sh = _shingle_hash_rows(candidates, id_col, text_col, n).select(
+        F.col("doc").alias(id_col), F.col("h").alias("shingle")
+    )
+    flagged = cand_sh.join(
+        F.broadcast(bench_sh.withColumn("_b", F.lit(1))), "shingle", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
 def incremental_dedup(
     batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

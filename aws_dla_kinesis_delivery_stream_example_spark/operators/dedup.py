@@ -114,16 +114,26 @@ def shingle_jaccard_pairs(
     )
 
 
-def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc, h) rows: one 61-ish-bit hash per DISTINCT word n-gram.
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, mod: int | None = None
+) -> DataFrame:
+    """(doc, h) rows: one 60-bit hash per DISTINCT word n-gram.
 
     Arrow-batched Python, not JVM expressions: building shingle strings
     with interpreted transform/slice/concat_ws costs more than the whole
     downstream aggregation; Python does tokenizing+hashing in one pass
     per batch. The md5 60-bit prefix is deterministic across workers
     (unlike builtin hash() under PYTHONHASHSEED) AND bit-identical in
-    DuckDB, which is what puts the hash-based dedup queries under full
-    hash oracles.
+    DuckDB (CAST('0x' || substring(md5(s),1,15) AS BIGINT)), which is
+    what puts the hash-based dedup queries under full hash oracles.
+
+    ``mod`` folds the hash into a smaller space. Only the MinHash
+    pipeline passes it (2^31-1, so its (2k+1)*h+c permutations stay
+    inside int64); everything else uses the full 60 bits — a 31-bit
+    space collides at birthday scale ~2^16 shingles, i.e. constantly
+    at 100 TB, which would corrupt jaccard/contamination candidates.
+    At 60 bits the collision odds for 10^10 corpus shingles are ~3%
+    across the whole corpus and vanish per-pair.
     """
     from ..shipping import ensure_shipped
 
@@ -150,15 +160,8 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
                     if s not in seen:
                         seen.add(s)
                         out_doc.append(doc)
-                        # 60-bit md5 prefix mod p: ENGINE-PORTABLE —
-                        # DuckDB reproduces it as CAST('0x' ||
-                        # substring(md5(s),1,15) AS BIGINT) % p, which
-                        # is what lets the minhash pipeline (q27) run
-                        # under a full hash oracle instead of rows-only.
-                        out_h.append(
-                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                            % _MERSENNE
-                        )
+                        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        out_h.append(h % mod if mod is not None else h)
             yield _pd.DataFrame({"doc": out_doc, "h": out_h})
 
     ensure_shipped(df.sparkSession)
@@ -171,8 +174,15 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 5
 ) -> DataFrame:
     """(id, signature array<long>) — min over n universal hashes of the
-    shingle-hash set. One narrow map + one groupBy(id) aggregate."""
-    sh = _shingle_hash_rows(df, id_col, text_col, shingle_n)
+    shingle-hash set. One narrow map + one groupBy(id) aggregate.
+
+    Shingle hashes are folded to 31 bits (mod 2^31-1) HERE ONLY: the
+    permutation arithmetic (2k+1)*h + c must stay inside int64, and a
+    31-bit base space is harmless for MinHash (collisions only merge
+    shingles before the min, a vanishing perturbation of the estimate)
+    — unlike the jaccard/contamination family, which needs the full
+    60-bit space (see _shingle_hash_rows)."""
+    sh = _shingle_hash_rows(df, id_col, text_col, shingle_n, mod=_MERSENNE)
     # h_i(x) = (a_i*x + b_i) mod p, fixed odd a_i / b_i derived from i.
     mins = [
         F.min(F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(1_000_003 * (i + 1)), F.lit(_MERSENNE))).alias(f"mh{i}")

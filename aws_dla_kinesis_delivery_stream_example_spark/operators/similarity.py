@@ -309,3 +309,56 @@ def embedding_near_duplicates(
         .groupBy("bucket")
         .applyInPandas(pairs, schema=_PAIR_SCHEMA)
     )
+
+
+def embedding_cross_duplicates(
+    new: DataFrame, corpus: DataFrame, threshold: float = 0.95, n_bits: int = 3
+) -> DataFrame:
+    """Embedding near-dups of a NEW ingest batch against an EXISTING
+    corpus — the dense-vector analog of ``curation.incremental_dedup``
+    (dedup new data against what is already in the training set, the
+    steady-state mode of a production pipeline; ``embedding_near_
+    duplicates`` is the one-shot self-join variant).
+
+    Both sides are tagged and unioned so each sign bucket holds its
+    new AND corpus members in ONE ``applyInPandas`` group, then a
+    cross-block GEMM (new x corpus only — never new x new or corpus x
+    corpus) emits (vec_new, vec_corpus, cos_sim >= threshold). Pairs
+    below threshold die inside the bucket-local matrix product.
+
+    100 TB shape: one shuffle each side on the bucket key; per-bucket
+    work is |new_b| x |corpus_b| x dim — bounded by the same sign-
+    bucket blocking as the self-join case, and the new batch is
+    typically a small fraction of the corpus, so the cross-block is
+    far cheaper than the corpus self-join. No driver-side collect.
+    """
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_new": [], "vec_corpus": [], "cos_sim": []}).astype(
+            {"vec_new": "int64", "vec_corpus": "int64", "cos_sim": "float64"}
+        )
+        nw = pdf[pdf["_side"] == 1]
+        cp = pdf[pdf["_side"] == 0]
+        if nw.empty or cp.empty:
+            return empty
+        nw = nw.sort_values("vec_id")
+        cp = cp.sort_values("vec_id")
+        n_ids = nw["vec_id"].to_numpy()
+        c_ids = cp["vec_id"].to_numpy()
+        s = _unit_rows(nw["embedding"]) @ _unit_rows(cp["embedding"]).T
+        ia, ib = np.where(s >= threshold)
+        return pd.DataFrame(
+            {"vec_new": n_ids[ia], "vec_corpus": c_ids[ib], "cos_sim": s[ia, ib]}
+        )
+
+    ensure_shipped(new.sparkSession)
+    tagged = new.select("vec_id", "embedding").withColumn(
+        "_side", F.lit(1)
+    ).unionByName(
+        corpus.select("vec_id", "embedding").withColumn("_side", F.lit(0))
+    )
+    return (
+        tagged.withColumn("bucket", sign_bucket("embedding", n_bits))
+        .groupBy("bucket")
+        .applyInPandas(pairs, schema="vec_new long, vec_corpus long, cos_sim double")
+    )

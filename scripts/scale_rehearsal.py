@@ -576,6 +576,64 @@ def main() -> None:
         ).count()
         truth.unpersist()
 
+        # q93 duplicated-span coverage (EXACTSUBSTR-style): per-doc
+        # output, NO pair join anywhere — its "candidates" analog is
+        # the total duplicated-window count, which must track corpus
+        # token count ~linearly (the operator's whole design claim).
+        from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+            release_staging,
+        )
+        from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+        specs = all_specs()
+        spans = specs["q93_duplicated_spans"].spark(spark, sf_dir).persist()
+        _, row["spans_sec"] = timed(spans.count)
+        sp = spans.agg(
+            F.sum("n_dup_windows").alias("dw"),
+            F.sum("dup_tokens").alias("dt"),
+            F.sum("n_tokens").alias("nt"),
+        ).collect()[0]
+        row["spans_candidates"] = int(sp["dw"] or 0)
+        row["spans_dup_tokens"] = int(sp["dt"] or 0)
+        row["spans_corpus_tokens"] = int(sp["nt"] or 0)
+        spans.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        # q94 quality-aware survivor selection: one max_by hash agg
+        # over the clustered membership — candidates := total cluster
+        # members fed to the agg (the shuffled row count; the agg
+        # state itself is one struct per cluster per task).
+        surv = specs["q94_dedup_survivors"].spark(spark, sf_dir).persist()
+        n_clusters, row["survivors_sec"] = timed(surv.count)
+        row["survivors_clusters"] = n_clusters
+        row["survivors_candidates"] = int(
+            surv.agg(F.sum("n_members")).collect()[0][0] or 0
+        )
+        surv.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        # q95 end-to-end curation pipeline: wall time per tier plus
+        # the funnel totals — candidates := docs entering the final
+        # (token-budget) stage, the volume every staged boundary has
+        # to carry; must grow ~linearly with the corpus.
+        pipe = specs["q95_curation_pipeline"].spark(spark, sf_dir).persist()
+        n_sources, row["pipeline_sec"] = timed(pipe.count)
+        pp = pipe.agg(
+            F.sum("n_input").alias("ni"),
+            F.sum("n_decontam").alias("nd"),
+            F.sum("n_kept").alias("nk"),
+            F.sum("tokens_kept").alias("tk"),
+        ).collect()[0]
+        row["pipeline_sources"] = n_sources
+        row["pipeline_input_docs"] = int(pp["ni"] or 0)
+        row["pipeline_candidates"] = int(pp["nd"] or 0)
+        row["pipeline_kept_docs"] = int(pp["nk"] or 0)
+        row["pipeline_kept_tokens"] = int(pp["tk"] or 0)
+        pipe.unpersist()
+        release_staging()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -587,7 +645,7 @@ def main() -> None:
     summary = {"span_docs": f'{lo["n_docs"]}->{hi["n_docs"]}', "max_df": max_df}
     for op in (
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
-        "tfidf", "tfidf_abs",
+        "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

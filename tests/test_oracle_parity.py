@@ -42,11 +42,12 @@ def test_entry_contract(spark):
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
     # Round-8 window shift (README §Rotation): exposed names are the
-    # canonical catalog names, but insertion order puts q46..q95 FIRST
-    # so the driver's 50-entry correctness window covers the round-7
-    # additions q93-q95 and the refactored q85. Each block is in
-    # NUMERIC query order (lexicographic would slot q100 between q10
-    # and q11 and silently evict the window tail). No aNN aliases.
+    # canonical catalog names, but insertion order puts q51..q100
+    # FIRST so the driver's 50-entry correctness window covers the
+    # round-7 additions q93-q95, the refactored q85, and the round-8
+    # additions q96-q100. Each block is in NUMERIC query order
+    # (lexicographic would slot q100 between q10 and q11 and silently
+    # evict the window tail). No aNN aliases.
     # The sort key is the entry module's own (one source of truth);
     # the window invariant is asserted independently below.
     import re as _re
@@ -66,7 +67,7 @@ def test_entry_contract(spark):
     assert nums[: len(window)] == sorted(window), "window block not numeric-ordered"
     assert nums[len(window):] == sorted(rest), "tail block not numeric-ordered"
     # Driver records the FIRST 50 entries: they must be exactly the
-    # window q46..q95 this round (≥50 catalog members above the start).
+    # window q51..q100 this round (≥50 catalog members above the start).
     assert nums[:50] == list(range(top, top + 50)), (
         f"driver window is not q{top}..q{top + 49}"
     )

@@ -1,0 +1,208 @@
+"""Round-8 operator unit tests (q96-q100 family): planted signals for
+contamination overlap, cross-corpus embedding dedup, token chunking,
+the quantile gate, and the kNN-graph tie-break — complementing the
+oracle-parity gate that checks the catalog specs against DuckDB."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from aws_dla_kinesis_delivery_stream_example_spark.operators import curation, similarity
+from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+    release_staging,
+)
+from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_contamination_overlap_planted_fractions(spark):
+    """Hand-computed overlap fractions: doc 1 shares 2 of its 3
+    distinct 4-grams with the benchmark, doc 2 shares none, doc 3 is
+    too short for any 4-gram and must be absent from the output."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon", "bench")])
+    # doc 1 tokens: alpha beta gamma delta zeta eta -> 4-grams:
+    #   "alpha beta gamma delta" (in bench), "beta gamma delta zeta"
+    #   (not), "gamma delta zeta eta" (not) -> 1/3
+    cand = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta zeta eta", "web"),
+            (2, "totally different words right here now", "web"),
+            (3, "too short", "web"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.contamination_overlap(
+            cand, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_hit"] == 1
+    assert abs(out[1]["overlap_frac"] - round(1 / 3, 4)) < 1e-9
+    assert out[2]["n_hit"] == 0 and out[2]["overlap_frac"] == 0.0
+
+
+def test_embedding_cross_duplicates_sides_never_self_join(spark):
+    """A planted near-identical pair ACROSS sides is found; equally
+    near-identical pairs WITHIN one side are never emitted — the
+    operator's whole contract vs the self-join variant."""
+    rows = [
+        # new side (ids 1,3): 1 matches corpus 2; 1 and 3 are near-dups
+        # of each other but must NOT pair (same side)
+        (1, [1.0, 0.2, 0.1, 0.0]),
+        (3, [1.0, 0.2, 0.1, 0.001]),
+        # corpus side (ids 2,4): 2 matches new 1; 2 and 4 near-dups of
+        # each other but must NOT pair (same side)
+        (2, [1.0, 0.2, 0.1, 0.002]),
+        (4, [1.0, 0.2, 0.1, 0.003]),
+        # corpus vector in a different sign bucket: never a candidate
+        (6, [-1.0, -0.2, -0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    got = {
+        (r["vec_new"], r["vec_corpus"])
+        for r in similarity.embedding_cross_duplicates(
+            new, corpus, threshold=0.99, n_bits=3
+        ).collect()
+    }
+    assert got == {(1, 2), (1, 4), (3, 2), (3, 4)}
+    # every emitted pair is new x corpus — no (1,3), no (2,4)
+
+
+def test_token_chunking_geometry(spark, tmp_path):
+    """Chunk boundaries, hand-computed at chunk=32/stride=24: a
+    33-token doc yields chunks starting at 1 (32 tokens) and 25
+    (9 tokens); a 32-token doc yields ONE chunk; empty/null texts
+    yield none."""
+    texts = {
+        1: " ".join(f"w{i}" for i in range(33)),
+        2: " ".join(f"v{i}" for i in range(32)),
+        3: "",
+        4: None,
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array(
+                    [len(t or "") for t in (texts[i] for i in sorted(texts))],
+                    pa.int64(),
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = [
+        r.asDict()
+        for r in all_specs()["q98_token_chunking"].spark(spark, str(tmp_path)).collect()
+    ]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tok_chunk"]) for r in c1] == [
+        (1, 1, 32),
+        (2, 25, 9),
+    ]
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tok_chunk"]) for r in by_doc[2]] == [
+        (1, 1, 32)
+    ]
+    # overlapping chunks of the same doc hash differently
+    assert c1[0]["chunk_hash"] != c1[1]["chunk_hash"]
+
+
+def test_quantile_gate_single_doc_source(spark, tmp_path):
+    """A one-doc source's p70 threshold IS its own score, so the doc
+    is kept (>= holds with equality) on both engines — the degenerate
+    boundary the interpolation could get wrong."""
+    import duckdb
+
+    from .oracle_utils import canonicalize
+
+    texts = {
+        1: ("the quick brown fox jumps over the lazy dog today", "solo"),
+        2: ("the small value table is in the data row again", "multi"),
+        3: ("batch window query value is of the line sort key", "multi"),
+        4: ("1234 !!! ??? ###", "multi"),
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i][0] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array([texts[i][1] for i in ids]),
+                "n_chars": pa.array([len(texts[i][0]) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    spec = all_specs()["q97_quantile_quality_gate"]
+    spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')"
+    )
+    duck_pdf = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert canonicalize(spark_pdf) == canonicalize(duck_pdf)
+    solo = spark_pdf[spark_pdf.source == "solo"].iloc[0]
+    assert int(solo["n_docs"]) == 1 and int(solo["n_kept"]) == 1
+
+
+def test_knn_graph_tiebreak_and_symmetry(spark, tmp_path):
+    """Two identical docs B and C are each other's rank-1 neighbors
+    (jaccard 1.0); doc A ties with both at the same jaccard and must
+    rank B before C (lower neighbor id on equal scores)."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = {
+        1: base + " kilo lima mike november oscar",  # A: overlaps B/C's prefix
+        2: base,  # B
+        3: base,  # C (exact dup of B)
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    try:
+        rows = [
+            (r["doc"], r["rnk"], r["neighbor"], r["jaccard"])
+            for r in all_specs()["q99_similar_doc_graph"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        ]
+    finally:
+        release_staging(blocking=True)
+        spark.catalog.clearCache()
+    by_doc = {}
+    for doc, rnk, nb, j in rows:
+        by_doc.setdefault(doc, []).append((rnk, nb, j))
+    # A's ties break on neighbor id: B (2) before C (3), equal jaccard
+    a = sorted(by_doc[1])
+    assert [x[1] for x in a] == [2, 3] and a[0][2] == a[1][2]
+    # B and C each rank the other first at jaccard 1.0
+    assert by_doc[2][0][1:] == (3, 1.0) or (1, 3, 1.0) in [(r, n, j) for r, n, j in by_doc[2]]
+    assert sorted(by_doc[2])[0] == (1, 3, 1.0)
+    assert sorted(by_doc[3])[0] == (1, 2, 1.0)
