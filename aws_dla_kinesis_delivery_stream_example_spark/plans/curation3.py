@@ -107,7 +107,16 @@ def q97_quantile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable: scores are integers, so an interpolated threshold
     is either exactly an integer (both engines compute the same exact
     double) or strictly between two integers — either way the >= keep
-    set cannot flip on a last-ulp difference."""
+    set cannot flip on a last-ulp difference.
+
+    100 TB caveat (the q43 exact-vs-approx split): EXACT `percentile`
+    buffers each group's values in the aggregation state, so a
+    billion-doc source would blow executor memory. This catalog spec
+    stays exact because the DuckDB oracle demands bit-stable
+    thresholds; the production swap is one token —
+    `approx_percentile("p_u", 0.70, 10_000)` — which is
+    constant-state and map-side-combinable with the IDENTICAL plan
+    shape around it (threshold broadcast + hash agg unchanged)."""
     from .quality import quality_p_u
 
     docs = load_table(spark, sf_dir, "documents")
@@ -267,9 +276,16 @@ def q99_similar_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on neighbor id; the ordering key is the RAW jaccard
     double, identical across engines because both compute one division
     of the same integers."""
+    from ..operators.staging import stage
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.shingle_jaccard_pairs(
-        docs, "doc_id", "text", n=5, threshold=0.0, max_df=10
+    # the pair set feeds BOTH union branches of the symmetrization —
+    # stage it once, or each branch re-derives the whole shingle join
+    # + jaccard aggregation (measured 14 exchanges -> 4)
+    pairs = stage(
+        dedup.shingle_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.0, max_df=10
+        )
     )
     sym = pairs.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("neighbor"), "jaccard"

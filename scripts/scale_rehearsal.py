@@ -634,6 +634,39 @@ def main() -> None:
         pipe.unpersist()
         release_staging()
 
+        # round-8 additions: q96 overlap audit (broadcast-bench family
+        # — candidates := candidate shingle rows hitting the bench
+        # set), q98 chunking (candidates := chunks, = tokens/stride by
+        # construction), q99 similar-doc graph (df-capped pair family
+        # — candidates := symmetrized ranked edges kept), q100 cross
+        # dedup (bucket-blocked GEMM — candidates := emitted pairs at
+        # the calibrated 0.42 gate). q97 is two tiny aggs — no hazard
+        # to curve.
+        ov = specs["q96_contamination_overlap"].spark(spark, sf_dir).persist()
+        _, row["overlap_sec"] = timed(ov.count)
+        row["overlap_candidates"] = int(ov.agg(F.sum("n_hit")).collect()[0][0] or 0)
+        ov.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        n_chunks, row["chunking_sec"] = timed(
+            lambda: specs["q98_token_chunking"].spark(spark, sf_dir).count()
+        )
+        row["chunking_candidates"] = n_chunks
+
+        knn = specs["q99_similar_doc_graph"].spark(spark, sf_dir).persist()
+        n_edges, row["knngraph_sec"] = timed(knn.count)
+        row["knngraph_candidates"] = n_edges
+        knn.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        n_xd, row["crossdedup_sec"] = timed(
+            lambda: specs["q100_embedding_cross_dedup"].spark(spark, sf_dir).count()
+        )
+        row["crossdedup_candidates"] = n_xd
+        release_staging()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -646,6 +679,7 @@ def main() -> None:
     for op in (
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
+        "overlap", "chunking", "knngraph", "crossdedup",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

@@ -131,9 +131,14 @@ def main() -> None:
             f"{sorted(exposed ^ set(all_specs()))[:5]}"
         )
         alias_map: dict[str, str] = {}
+        # Round-8 window shift: record the driver-visible window (the
+        # first 50 exposed names) so the artifact states which catalog
+        # queries carry driver rows this round without README archaeology.
+        window_first_50 = list(mod.queries())[:50]
         report["_meta"] = {
             "sf_dir": sf_dir,
             "alias_to_catalog": alias_map,
+            "driver_window_first_50": window_first_50,
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "events_mtime": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(ev_path))

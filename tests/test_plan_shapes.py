@@ -133,6 +133,30 @@ def test_q95_staged_exchange_budget(spark):
     assert n <= 16, f"q95: {n} exchanges above staging (budget 16)"
 
 
+def test_round8_exchange_budgets(spark):
+    """Round-8 additions, tree-walk budgets (staged subtrees excluded;
+    q99 stages its pair set so its symmetrizing union doesn't re-derive
+    the shingle join per branch — measured 14 exchanges unstaged vs 2
+    staged). Budgets are measured+1 headroom for AQE join swaps."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        ("q96_contamination_overlap", 5),  # bench distinct + bcast + doc agg + sort
+        ("q97_quantile_quality_gate", 5),  # percentile agg + bcast + final agg + sort
+        ("q98_token_chunking", 2),  # narrow map; ONLY the catalog sort shuffles
+        ("q99_similar_doc_graph", 3),  # staged pairs -> window + sort
+        ("q100_embedding_cross_dedup", 3),  # bucket hash + applyInPandas + sort
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges above staging (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""
