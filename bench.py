@@ -142,6 +142,18 @@ def main() -> None:
     ok = {k: v for k, v in timings.items() if isinstance(v, (int, float))}
     errs = sorted(k for k in timings if k not in ok)
     total = round(sum(ok.values()), 3)
+    # Round-over-round comparability: the catalog grows most rounds,
+    # so the headline total is not apples-to-apples with the previous
+    # artifact. Emit a subtotal over the PREVIOUS round's catalog
+    # (q01..q95 as of round 8) so total drift separates into
+    # "shared queries moved" vs "new queries added".
+    import re as _re
+
+    def _qnum(name: str) -> int:
+        m = _re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    prev_total = round(sum(v for k, v in ok.items() if _qnum(k) <= 95), 3)
     # Same estimator as the queries: best of REPEATS (first run pays
     # streaming-query codegen/startup; observed 22k cold vs 80k warm).
     try:
@@ -168,6 +180,7 @@ def main() -> None:
                 "sweep_wall_sec": wall,
                 "n_queries_ok": len(ok),
                 "query_errors": errs,
+                "total_prev_catalog_q01_q95": prev_total,
             }
         )
     )

@@ -367,9 +367,23 @@ def extreme_tier_rehearsal(
     row["tfidf_abs_candidates"] = cand
     spark.catalog.clearCache()
 
+    # q93 duplicated-span coverage at the extreme tier: the operator's
+    # claim is strict linearity in corpus tokens (no pair join), so the
+    # marginal decade 50k -> 500k docs is where a hidden superlinearity
+    # would surface. Candidates := total duplicated windows.
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import curation as CU
+
+    spans = CU.duplicated_span_stats(docs, "doc_id", "text", n=20).persist()
+    _, row["spans_sec"] = timed(spans.count)
+    row["spans_candidates"] = int(
+        spans.agg(F.sum("n_dup_windows")).collect()[0][0] or 0
+    )
+    spans.unpersist()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
-        for op in ("minhash", "simhash", "jaccard", "tfidf_abs"):
+        for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans"):
             c_lo = max(ref_row[f"{op}_candidates"], 1)
             c_hi = max(row[f"{op}_candidates"], 1)
             row[f"{op}_exponent_vs_10x"] = round(

@@ -1,7 +1,9 @@
-"""Round-8 operator unit tests (q96-q100 family): planted signals for
-contamination overlap, cross-corpus embedding dedup, token chunking,
-the quantile gate, and the kNN-graph tie-break — complementing the
-oracle-parity gate that checks the catalog specs against DuckDB."""
+"""Round-8 operator unit tests (q96-q102 family): planted signals for
+contamination overlap, cross-corpus embedding dedup, token chunking
+(hand-computed geometry + randomized tiling property), the quantile
+gate, the kNN-graph tie-break, and BPE merge-candidate weighting —
+complementing the oracle-parity gate that checks the catalog specs
+against DuckDB."""
 
 from __future__ import annotations
 
@@ -206,3 +208,92 @@ def test_knn_graph_tiebreak_and_symmetry(spark, tmp_path):
     assert by_doc[2][0][1:] == (3, 1.0) or (1, 3, 1.0) in [(r, n, j) for r, n, j in by_doc[2]]
     assert sorted(by_doc[2])[0] == (1, 3, 1.0)
     assert sorted(by_doc[3])[0] == (1, 2, 1.0)
+
+
+def test_bpe_merge_candidates_weighted_counts(spark, tmp_path):
+    """Hand-computed BPE step-1 counts: 'aaa' contributes 'a a' twice
+    per occurrence (adjacent-position convention), pair counts weight
+    by word frequency, and single-char words ('i') contribute nothing
+    (the sequence(1,0)-descending guard)."""
+    texts = {
+        1: "aaa ab i",
+        2: "aaa",
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s"] * 2),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in all_specs()["q101_bpe_merge_candidates"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # vocab: aaa(n=2) -> 'a a' x2 positions x2 occurrences = 4; ab(1)
+    assert got == {"a a": 4, "a b": 1}
+
+
+def test_chunking_covers_every_token(spark):
+    """Property over randomized doc lengths: chunks tile the doc —
+    first chunk starts at 1, consecutive starts differ by the stride,
+    the last chunk reaches exactly the doc end, and no chunk is fully
+    contained in its predecessor (the redundant-tail rule)."""
+    import random
+
+    rng = random.Random(8)
+    lengths = [rng.randrange(1, 200) for _ in range(30)] + [1, 8, 9, 24, 32, 33, 56, 57]
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), "s")
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation3 import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    # drive the same chunk expression through a temp dir-free path:
+    # reuse the spec's plan by writing a view-compatible frame
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                    "text": _pa.array([r[1] for r in rows]),
+                    "lang": _pa.array(["en"] * len(rows)),
+                    "source": _pa.array(["s"] * len(rows)),
+                    "n_chars": _pa.array([len(r[1]) for r in rows], _pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = (
+            all_specs()["q98_token_chunking"].spark(spark, d).collect()
+        )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in enumerate(lengths):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_tok"] == 1, (doc_id, n)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == _CHUNK_STRIDE, (doc_id, n)
+            # no chunk fully inside its predecessor
+            assert b["start_tok"] + b["n_tok_chunk"] > a["start_tok"] + a["n_tok_chunk"]
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok_chunk"] - 1 == n, (doc_id, n)
+        for c in chunks:
+            assert 1 <= c["n_tok_chunk"] <= _CHUNK_TOKENS
