@@ -297,3 +297,132 @@ def test_chunking_covers_every_token(spark):
         assert last["start_tok"] + last["n_tok_chunk"] - 1 == n, (doc_id, n)
         for c in chunks:
             assert 1 <= c["n_tok_chunk"] <= _CHUNK_TOKENS
+
+
+def test_contamination_overlap_randomized_brute_force(spark):
+    """Random word-soup corpora vs an independent pure-Python
+    recomputation of (n_shingles, n_hit, overlap_frac) — guards the
+    distinct-shingle convention, the left-join hit counting, and the
+    short-doc exclusion against any fixed planted blind spot."""
+    import random
+    import re
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(15)]  # tiny vocab -> real overlap
+        mk = lambda lo, hi: " ".join(  # noqa: E731
+            rng.choice(vocab) for _ in range(rng.randrange(lo, hi))
+        )
+        bench_rows = [(100 + i, mk(4, 12), "bench") for i in range(3)]
+        cand_rows = [(i, mk(0, 12), "web") for i in range(25)]
+        n = 3
+
+        def shingles(text):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        bench_set = set().union(*(shingles(t) for _, t, _ in bench_rows))
+        expected = {}
+        for doc_id, text, _ in cand_rows:
+            sh = shingles(text)
+            if sh:
+                hit = len(sh & bench_set)
+                expected[doc_id] = (len(sh), hit, round(hit / len(sh), 4))
+        out = {
+            r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap_frac"])
+            for r in curation.contamination_overlap(
+                _docs(spark, cand_rows), _docs(spark, bench_rows), "doc_id", "text", n=n
+            ).collect()
+        }
+        assert out == expected, seed
+
+
+def test_embedding_cross_duplicates_randomized_brute_force(spark):
+    """Random vectors vs a numpy recomputation under the SAME
+    sign-bucket blocking contract: every (odd, even) pair sharing a
+    bucket with cosine >= threshold, and nothing else."""
+    import numpy as np
+
+    for seed in (21, 22):
+        rng = np.random.default_rng(seed)
+        n_vec, dim, thr = 60, 6, 0.6
+        mat = rng.normal(size=(n_vec, dim)).astype("float64")
+        # plant a few cross-side near-dups so the expected set is non-empty
+        for base, twin in ((1, 2), (7, 10), (15, 20)):
+            mat[twin] = mat[base] + rng.normal(scale=0.01, size=dim)
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n_vec)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # the operator reads float32 columns: brute-force on the SAME
+        # downcast values or borderline cosines disagree
+        m32 = np.array([r[1] for r in rows], dtype="float32").astype("float64")
+        unit = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+        bucket = (
+            4 * (m32[:, 0] > 0).astype(int)
+            + 2 * (m32[:, 1] > 0).astype(int)
+            + (m32[:, 2] > 0).astype(int)
+        )
+        expected = set()
+        for a in range(n_vec):
+            if a % 2 == 0:
+                continue
+            for b in range(n_vec):
+                if b % 2 == 1 or bucket[a] != bucket[b]:
+                    continue
+                if float(unit[a] @ unit[b]) >= thr:
+                    expected.add((a, b))
+        got = {
+            (r["vec_new"], r["vec_corpus"])
+            for r in similarity.embedding_cross_duplicates(
+                emb.filter(F.col("vec_id") % 2 == 1),
+                emb.filter(F.col("vec_id") % 2 == 0),
+                threshold=thr,
+                n_bits=3,
+            ).collect()
+        }
+        assert got == expected, (seed, got ^ expected)
+
+
+def test_bpe_merge_candidates_randomized_brute_force(spark, tmp_path):
+    """Random corpora vs a pure-Python weighted pair count, including
+    the top-50 tie order (count desc, pair asc)."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(31)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 6)))
+        for _ in range(40)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 20))), "s")
+        for i in range(30)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    vocab: Counter = Counter()
+    for _, text, _ in rows:
+        vocab.update(re.findall(r"[a-z0-9]+", text.lower()))
+    pairs: Counter = Counter()
+    for tok, cnt in vocab.items():
+        for i in range(len(tok) - 1):
+            pairs[f"{tok[i]} {tok[i+1]}"] += cnt
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in all_specs()["q101_bpe_merge_candidates"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == expected
