@@ -5,7 +5,7 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q100``), in a round-8 WINDOW
+Naming: canonical catalog names (``q01..q102``), in a round-8 WINDOW
 order: the driver's correctness artifact records only the FIRST 50
 dict entries, so this round exposes ``q51..q100`` first (then
 ``q01..q50``) to earn fresh driver hash rows for the round-7

@@ -147,7 +147,11 @@ def q97_quantile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         -- starts run while the PREVIOUS chunk hasn't reached the end:
         -- s <= n_tok - chunk + stride (no redundant tail chunk fully
-        -- contained in its predecessor); empty docs emit nothing
+        -- contained in its predecessor); empty AND NULL texts emit
+        -- nothing — len(tk) is NULL for NULL text and DuckDB's
+        -- greatest() IGNORES nulls (greatest(NULL, 1) = 1), so the
+        -- bound must coalesce len(tk) to 0 first or a NULL-text doc
+        -- would emit one phantom chunk the Spark plan never produces
         ch AS (
             SELECT doc_id,
                    CAST((i - 1) / {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
@@ -156,7 +160,7 @@ def q97_quantile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    array_to_string(array_slice(tk, i, i + {_CHUNK_TOKENS} - 1), ' ') AS txt
             FROM toks, UNNEST(generate_series(
                 1,
-                CASE WHEN len(tk) = 0 THEN 0
+                CASE WHEN coalesce(len(tk), 0) = 0 THEN 0
                      ELSE greatest(len(tk) - {_CHUNK_TOKENS} + {_CHUNK_STRIDE}, 1) END,
                 {_CHUNK_STRIDE})) AS t(i)
         )
@@ -283,7 +287,8 @@ def q99_similar_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the pair set feeds BOTH union branches of the symmetrization —
     # stage it once, or each branch re-derives the whole shingle join
-    # + jaccard aggregation (measured 14 exchanges -> 4)
+    # + jaccard aggregation (measured 14 exchanges unstaged -> 2
+    # staged; pinned at budget 3 in tests/test_plan_shapes.py)
     pairs = stage(
         dedup.shingle_jaccard_pairs(
             docs, "doc_id", "text", n=5, threshold=0.0, max_df=10
@@ -478,12 +483,15 @@ def q102_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_hash_rows(docs, "doc_id", "text", 5)
     j = sh.join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
     lvl1 = j.groupBy("source", "h").agg(F.count(F.lit(1)).alias("occ"))
+    # HLL is duplicate-insensitive, so sketching lvl1's one-row-per-
+    # distinct-(source,h) output gives the IDENTICAL estimate as
+    # sketching j — without re-deriving the Arrow-UDF shingle subtree
+    # a second time for a separate (source)-partitioned aggregation.
+    # All three measures fold into ONE level-2 rollup over lvl1.
     exact = lvl1.groupBy("source").agg(
         F.count(F.lit(1)).alias("distinct_shingles"),
         F.sum("occ").alias("total_occurrences"),
-    )
-    approx = j.groupBy("source").agg(
-        F.approx_count_distinct("h", rsd=0.015).alias("hll")
+        F.approx_count_distinct("h", rsd=0.015).alias("hll"),
     )
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -492,7 +500,6 @@ def q102_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
     return (
         per.join(exact, "source", "left")
-        .join(approx, "source", "left")
         .select(
             "source",
             "n_docs",

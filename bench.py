@@ -73,16 +73,20 @@ def bench_queries(spark) -> dict[str, float]:
                 # scratch: release them, and force a collection so one run's
                 # garbage doesn't tax the next one's measurement.
                 release_staging()
-                spark.catalog.clearCache()
                 # bench is single-threaded: any frame still counted as
                 # staged on another thread is a cross-thread staging
                 # leak — fail the artifact run loudly, don't let it
-                # silently accrue cache across queries
+                # silently accrue cache across queries. Checked BEFORE
+                # clearCache(): the counter is advisory and over-reports
+                # after a clearCache drops caches without decrementing
+                # it (staging.py), so asserting after would fire only
+                # post-remediation and then poison every later query.
                 leaked = staged_elsewhere()
                 assert leaked == 0, (
                     f"{name}: {leaked} staged frame(s) leaked across "
                     "threads after release_staging()"
                 )
+                spark.catalog.clearCache()
                 spark._jvm.System.gc()
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point

@@ -89,14 +89,18 @@ def main() -> None:
             )
 
             release_staging()
-            spark.catalog.clearCache()
             # single-threaded loop: a frame still counted as staged on
             # another thread is a cross-thread staging leak — fail the
-            # artifact run loudly instead of accruing cache
+            # artifact run loudly instead of accruing cache. Checked
+            # BEFORE clearCache(): the advisory counter over-reports
+            # after a clearCache (staging.py), so asserting after
+            # would fire only post-remediation and then poison every
+            # later query in the sweep.
             leaked = staged_elsewhere()
             assert leaked == 0, (
                 f"{name}: {leaked} staged frame(s) leaked across threads"
             )
+            spark.catalog.clearCache()
         status = "FAIL" if entry["err"] and entry["err"] != "no_oracle" else (
             "rows-only" if entry["err"] == "no_oracle" else "ok")
         print(

@@ -105,10 +105,24 @@ def test_token_chunking_geometry(spark, tmp_path):
         ),
         tmp_path / "documents.parquet",
     )
-    rows = [
-        r.asDict()
-        for r in all_specs()["q98_token_chunking"].spark(spark, str(tmp_path)).collect()
-    ]
+    spec = all_specs()["q98_token_chunking"]
+    spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    rows = spark_pdf.to_dict("records")
+    # oracle parity ON THIS fixture: the null-text doc is the case the
+    # driver corpus never exercises, and DuckDB's null-ignoring
+    # greatest() would emit a phantom chunk for it without the
+    # coalesce guard in the oracle's series bound
+    import duckdb
+
+    from .oracle_utils import canonicalize
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')"
+    )
+    duck_pdf = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert canonicalize(spark_pdf) == canonicalize(duck_pdf)
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
@@ -255,14 +269,13 @@ def test_chunking_covers_every_token(spark):
         (i, " ".join(f"t{i}x{j}" for j in range(n)), "s")
         for i, n in enumerate(lengths)
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     from aws_dla_kinesis_delivery_stream_example_spark.plans.curation3 import (
         _CHUNK_STRIDE,
         _CHUNK_TOKENS,
     )
 
-    # drive the same chunk expression through a temp dir-free path:
-    # reuse the spec's plan by writing a view-compatible frame
+    # drive the spec's real plan: write the rows as a documents table
+    # and let the catalog callable load it like any sf dir
     import pyarrow as _pa
     import pyarrow.parquet as _pq
     import tempfile, os
