@@ -47,9 +47,27 @@ def stopword_count(col) -> Column:
 
 
 def alpha_ratio(col) -> Column:
-    """Share of [A-Za-z] characters — a cheap quality signal."""
+    """Share of [A-Za-z] characters — a cheap quality signal.
+
+    NULL for empty text: the denominator is nullif(length, 0), because
+    under Spark 4's default ANSI mode a double division by zero THROWS
+    (aborting the whole job on one empty document) while DuckDB yields
+    NULL — nullif makes both engines produce NULL, which then filters/
+    aggregates identically on both sides."""
     c = _c(col)
-    return F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double") / F.length(c).cast("double")
+    return F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double") / F.nullif(
+        F.length(c), F.lit(0)
+    ).cast("double")
+
+
+def hash60(col) -> Column:
+    """60-bit md5-prefix content hash — THE engine-portable hash key
+    convention (q37): 15 hex chars parse into int64 exactly in both
+    Spark and DuckDB (`CAST('0x' || substring(md5(x),1,15) AS
+    BIGINT)`); 16 would overflow the signed cast. One definition so
+    the parity-critical width/base cannot drift between the call
+    sites (doc fingerprints, span window keys, chunk hashes)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
 def word_shingles(col, n: int = 5) -> Column:

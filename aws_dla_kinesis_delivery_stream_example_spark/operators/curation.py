@@ -139,6 +139,16 @@ def incremental_dedup(
 
     Returns one row per kept doc: (keep_id, source, n_copies) where
     n_copies counts the within-batch duplicates it absorbed.
+
+    NULL-text semantics are SQL's, deliberately (they are what the
+    DuckDB oracle computes and what the q65 contract pins): a NULL
+    digest never matches the corpus (anti-join null inequality), and
+    all NULL-text batch docs then collapse into ONE group with a
+    min-id survivor — GROUP BY treats NULLs as equal. If your
+    pipeline means "content unknown, keep all" for failed
+    extractions, pre-filter null texts before calling; silently
+    treating unknown content as mutual duplicates is usually not what
+    you want (tests/test_curation.py pins the SQL behavior).
     """
     bh = batch.withColumn("_h", content_digest(text_col))
     ch = corpus.select(content_digest(text_col).alias("_h")).distinct()
@@ -236,13 +246,7 @@ def duplicated_span_stats(
         F.sequence(F.lit(1), F.size("toks") - n + 1),
         lambda i: F.struct(
             i.alias("pos"),
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", F.slice("toks", i, n))), 1, 15),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            TX.hash60(F.concat_ws(" ", F.slice("toks", i, n))).alias("h"),
         ),
     )
     # ONE tokenize+hash pass feeds all three consumers (duplicate

@@ -137,7 +137,9 @@ def ivf_topk(
     boundary lands in a neighboring bucket, and the 1-bit-flip probes
     recover it for ~``n_bits``x more scanned candidates (still a
     2**n_bits-fold reduction vs brute force at 100 TB, and each probe
-    stays a partition-prunable bucket filter).
+    stays a partition-prunable bucket filter). Larger radii probe
+    every bucket within that Hamming distance (sum of C(n_bits, r)
+    flips); radius > n_bits raises — it cannot mean anything.
 
     Recall contract (geometry-dependent — sign buckets key on the
     signs of the first ``n_bits`` dims): on the planted-blob property
@@ -154,14 +156,29 @@ def ivf_topk(
     weights = np.array([2 ** (n_bits - 1 - i) for i in range(n_bits)])
     q_buckets = ((raw[:, :n_bits] > 0) * weights).sum(axis=1)
 
-    # bucket -> indices of the queries probing it (own bucket plus the
-    # 1-bit flips when multi-probing). Buckets stay disjoint, so each
+    # bucket -> indices of the queries probing it (own bucket plus
+    # every bucket within Hamming distance <= hamming_probes when
+    # multi-probing — all C(n_bits, r) r-bit flips per radius, not
+    # just radius 1, so the parameter means what it says instead of
+    # silently capping at 1). Buckets stay disjoint, so each
     # (query, candidate) pair is scored at most once — no dedup needed.
+    from itertools import combinations
+
+    if not 0 <= hamming_probes <= n_bits:
+        raise ValueError(
+            f"ivf_topk: hamming_probes={hamming_probes} outside [0, "
+            f"n_bits={n_bits}] — a radius past n_bits cannot flip more "
+            "bits than the bucket key has"
+        )
     probe_map: dict[int, list[int]] = {}
     for qi, b in enumerate(q_buckets.tolist()):
         probes = {int(b)}
-        if hamming_probes >= 1:
-            probes |= {int(b) ^ (1 << j) for j in range(n_bits)}
+        for r in range(1, hamming_probes + 1):
+            for bits in combinations(range(n_bits), r):
+                flip = 0
+                for j in bits:
+                    flip |= 1 << j
+                probes.add(int(b) ^ flip)
         for pb in probes:
             probe_map.setdefault(pb, []).append(qi)
 

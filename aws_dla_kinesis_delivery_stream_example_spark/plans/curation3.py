@@ -119,10 +119,14 @@ def q97_quantile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_percentile("p_u", 0.70, 10_000)` — which is
     constant-state and map-side-combinable with the IDENTICAL plan
     shape around it (threshold broadcast + hash agg unchanged)."""
+    from ..operators.staging import stage
     from .quality import quality_p_u
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("source", quality_p_u("text").alias("p_u"))
+    # staged: the scored frame feeds BOTH the percentile aggregation
+    # and the join-side scan — unstaged, the model's four regex passes
+    # over every document's full text run twice
+    scored = stage(docs.select("source", quality_p_u("text").alias("p_u")))
     thr = scored.groupBy("source").agg(
         F.percentile("p_u", F.lit(0.70)).alias("thr")
     )
@@ -176,16 +180,24 @@ def q97_quantile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "chunking"),
 )
 def q98_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: a narrow map — tokenize, transform over a start
-    sequence, explode. No shuffle at all except the final catalog
-    ORDER BY (which a pipeline consumer drops); chunk count is
-    corpus_tokens/stride regardless of document skew, and the chunk
-    text never leaves the row it was built in (only the 60-bit hash
-    and the span land in the output). The JVM-side slice/concat stays
-    whole-stage-codegen'd; contrast with a Python chunker UDF that
-    would ship every token array through Arrow."""
+    """Scale shape: a narrow map — tokenize ONCE into a projected
+    column, transform over a start sequence, explode. No shuffle at
+    all except the final catalog ORDER BY (which a pipeline consumer
+    drops); chunk count is corpus_tokens/stride regardless of
+    document skew, and the chunk text never leaves the row it was
+    built in (only the 60-bit hash and the span land in the output).
+
+    The token array MUST be projected into its own column before the
+    higher-order transform: Catalyst does not hoist lambda-invariant
+    subtrees out of HOFs (and CollapseProject declines to re-inline a
+    non-cheap expression referenced repeatedly), so an inline
+    ``words(text)`` inside the lambda re-tokenizes the whole document
+    once per chunk — O(doc_tokens^2/stride), measured 77.1 s vs
+    0.86 s (~90x) on 50 docs of 20k tokens; invisible on ~54-token
+    fixtures. Same projection pattern as ``duplicated_span_stats``."""
     docs = load_table(spark, sf_dir, "documents")
-    w = TX.words("text")
+    toks = docs.select("doc_id", TX.words("text").alias("toks"))
+    w = F.col("toks")
     # starts run while the previous chunk hasn't reached the doc end
     # (s <= n_tok - chunk + stride): no redundant tail chunk fully
     # contained in its predecessor; empty docs emit no chunks
@@ -199,7 +211,6 @@ def q98_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CHUNK_STRIDE),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    chunk_txt = lambda s: F.concat_ws(" ", F.slice(w, s, _CHUNK_TOKENS))  # noqa: E731
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
@@ -208,13 +219,12 @@ def q98_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(_CHUNK_TOKENS), F.size(w) - s + 1)
             .cast("long")
             .alias("n_tok_chunk"),
-            F.conv(F.substring(F.md5(chunk_txt(s)), 1, 15), 16, 10)
-            .cast("long")
+            TX.hash60(F.concat_ws(" ", F.slice(w, s, _CHUNK_TOKENS)))
             .alias("chunk_hash"),
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        toks.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok_chunk", "c.chunk_hash")
         .orderBy("doc_id", "chunk_idx")
     )
@@ -400,8 +410,12 @@ def q101_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(TX.words("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
+        # chars projected into a column BEFORE the HOF — the same
+        # hoist as q98: an inline split inside the lambda re-splits
+        # the word once per character pair (O(len^2) per word)
+        .withColumn("cs", F.filter(F.split(F.col("tok"), ""), lambda c: c != ""))
     )
-    cs = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
+    cs = F.col("cs")
     # guard single-char words: sequence(1, 0) runs DESCENDING in Spark
     # (step inferred -1), which would index past the array
     pair_list = F.when(

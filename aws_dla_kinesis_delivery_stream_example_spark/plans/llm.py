@@ -302,12 +302,13 @@ def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                     / length(text), 3) AS alpha_ratio,
+                     / nullif(length(text), 0), 3) AS alpha_ratio,
                n_chars
         FROM documents
         WHERE lang = 'en'
           AND n_chars BETWEEN 100 AND 5000
-          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.6
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / nullif(length(text), 0) >= 0.6
         ORDER BY doc_id
     """,
     description="Language + length + alpha-ratio quality gate (the "
@@ -798,11 +799,12 @@ def q37_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on sha256 (q58 shows the pattern: `lower(sha256(text))`, also
     DuckDB-portable) or a keyed hash, at the cost of a wider join key."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     return docs.select(
         "doc_id",
-        fp(F.col("text")).alias("content_hash"),
-        fp(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("normalized_hash"),
+        TX.hash60(F.col("text")).alias("content_hash"),
+        TX.hash60(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias(
+            "normalized_hash"
+        ),
     ).orderBy("doc_id")
 
 

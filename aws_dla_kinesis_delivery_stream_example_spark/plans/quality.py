@@ -37,13 +37,13 @@ QUALITY_SCORED_CTE = f"""
         q_feats AS (
             SELECT doc_id, source,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                       / length(text) AS alpha,
+                       / nullif(length(text), 0) AS alpha,
                    CAST(len(regexp_extract_all(lower(text),
                         '\\b(the|a|an|of|and|to|is|in|that|it)\\b')) AS DOUBLE)
                        / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop_ratio,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
                    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                       / length(text) AS punct_ratio
+                       / nullif(length(text), 0) AS punct_ratio
             FROM documents
         ),
         q_scored AS (
@@ -68,9 +68,11 @@ def quality_p_u(text_col: str = "text"):
         TX.token_count(text_col), F.lit(1)
     ).cast("double")
     n_tok = TX.token_count(text_col).cast("double")
+    # nullif guard: ANSI double/0 throws in Spark 4, DuckDB yields
+    # NULL — see functions/text.py alpha_ratio (same convention)
     punct_ratio = (
         F.length(text_col) - F.length(F.regexp_replace(text_col, "[.,!?;:]", ""))
-    ).cast("double") / F.length(text_col).cast("double")
+    ).cast("double") / F.nullif(F.length(text_col), F.lit(0)).cast("double")
     logit = F.round(
         _W_ALPHA * alpha + _W_STOP * stop_ratio + _W_LEN * n_tok
         + _W_PUNCT * punct_ratio + F.lit(_BIAS),

@@ -167,7 +167,11 @@ def test_quantile_gate_single_doc_source(spark, tmp_path):
         tmp_path / "documents.parquet",
     )
     spec = all_specs()["q97_quantile_quality_gate"]
-    spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    try:
+        spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    finally:
+        release_staging(blocking=True)
+        spark.catalog.clearCache()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')"
@@ -439,3 +443,81 @@ def test_bpe_merge_candidates_randomized_brute_force(spark, tmp_path):
         .collect()
     ]
     assert got == expected
+
+
+def test_empty_text_does_not_crash_quality_family(spark, tmp_path):
+    """Spark 4 runs ANSI mode by default, where double division by
+    zero THROWS: an empty-text document used to abort q97/q85/q94
+    inside quality_p_u's alpha/punct ratios (DuckDB yields NULL for
+    the same input). Both engines now produce NULL via nullif and
+    must agree on the aggregate outputs."""
+    import duckdb
+
+    from .oracle_utils import canonicalize
+
+    texts = {
+        1: ("", "s"),  # the crash case: length(text) = 0
+        2: ("the quick brown fox jumps over the lazy dog today", "s"),
+        3: ("the small value table is in the data row again", "s"),
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i][0] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array([texts[i][1] for i in ids]),
+                "n_chars": pa.array([len(texts[i][0]) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')"
+    )
+    for name in ("q85_quality_classifier", "q97_quantile_quality_gate"):
+        spec = all_specs()[name]
+        try:
+            spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()  # must not raise
+        finally:
+            release_staging(blocking=True)
+            spark.catalog.clearCache()
+        duck_pdf = con.execute(spec.oracle).fetchdf()
+        assert canonicalize(spark_pdf) == canonicalize(duck_pdf), name
+    con.close()
+
+
+def test_ivf_multiprobe_radius_means_what_it_says(spark):
+    """hamming_probes=2 must probe every bucket within Hamming
+    distance 2 (C(3,1)+C(3,2)=6 flips + own bucket = 7 of 8 buckets
+    at n_bits=3) — not silently behave like radius 1 — and a radius
+    past n_bits raises instead of capping."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(5)
+    # query in bucket 0b111; its true nearest neighbor's first three
+    # dims differ in TWO signs -> bucket Hamming 2 away: radius 1
+    # cannot see it, radius 2 must
+    q = np.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])
+    near = np.array([-1.0, -1.0, 1.0, 5.0, 5.0, 5.0])  # bucket 0b001
+    far = rng.normal(size=(30, 6)) - 3.0  # negative-ish: other buckets
+    cands = [(0, [float(x) for x in near])] + [
+        (i + 1, [float(x) for x in far[i]]) for i in range(len(far))
+    ]
+    cand_df = spark.createDataFrame(cands, "vec_id long, embedding array<float>")
+    q_df = spark.createDataFrame([(99, [float(x) for x in q])], "q_id long, q_emb array<float>")
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    def top1(probes):
+        rows = ivf_topk(cand_df, q_df, k=1, n_bits=3, hamming_probes=probes).collect()
+        return rows[0]["vec_id"] if rows else None
+
+    assert top1(1) != 0, "radius-1 should not reach the Hamming-2 bucket"
+    assert top1(2) == 0, "radius-2 must recover the true neighbor"
+    with _pytest.raises(ValueError, match="hamming_probes"):
+        ivf_topk(cand_df, q_df, k=1, n_bits=3, hamming_probes=4)
