@@ -35,8 +35,15 @@ def norm2(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    """Cosine similarity in double precision."""
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """Cosine similarity in double precision.
+
+    NULL when either vector has zero norm: ANSI Spark throws on the
+    0/0 double division (one all-zero embedding would abort the whole
+    query) while DuckDB yields NULL — nullif makes both engines emit
+    NULL, which every consumer's avg/min/filter then skips
+    identically (the FIXTURES.md zero-denominator rule; the numpy
+    paths guard the same case with norms[norms == 0] = 1)."""
+    return dot(a, b) / F.nullif(norm2(a) * norm2(b), F.lit(0.0))
 
 
 def sign_bucket(a, n_bits: int = 3) -> Column:

@@ -205,7 +205,16 @@ def semantic_near_duplicates(
                     continue
                 g = [
                     int.from_bytes(
-                        hashlib.md5(np.round(np.asarray(v), 1).tobytes()).digest()[:4],
+                        # + 0.0 normalizes -0.0 -> +0.0: np.round maps
+                        # tiny negative components to -0.0, whose BYTE
+                        # pattern differs from +0.0 even though the
+                        # values compare equal — without it, two
+                        # vectors equal after rounding could digest
+                        # into different sub-blocks and a true
+                        # near-dup pair would be silently missed
+                        hashlib.md5(
+                            (np.round(np.asarray(v), 1) + 0.0).tobytes()
+                        ).digest()[:4],
                         "big",
                     )
                     % nb

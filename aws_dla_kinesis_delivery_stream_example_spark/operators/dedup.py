@@ -38,14 +38,14 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     dropDuplicates which keeps an arbitrary row).
 
     Null keys follow SQL GROUP BY semantics: rows whose key is null form
-    one group and keep their min-id survivor — the semi join uses
-    null-safe equality so they don't silently vanish."""
+    one group and keep their min-id survivor — they don't silently
+    vanish, because the semi join keys on the ID alone: the min-id set
+    from the groupBy already identifies exactly one surviving row per
+    group (ids are unique), so joining back on id is sufficient AND
+    keeps the join key a single narrow column instead of a multi-column
+    compound with null-safe comparisons."""
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    d, k = df.alias("_dd_l"), keep.alias("_dd_r")
-    cond = F.col(f"_dd_l.{id_col}") == F.col(f"_dd_r.{id_col}")
-    for c in key_cols:
-        cond = cond & F.col(f"_dd_l.{c}").eqNullSafe(F.col(f"_dd_r.{c}"))
-    return d.join(k, cond, "left_semi")
+    return df.join(keep.select(id_col), id_col, "left_semi")
 
 
 def shingle_jaccard_pairs(
@@ -208,6 +208,18 @@ def minhash_near_duplicates(
     Returns (doc_a, doc_b, est_jaccard >= threshold). The LSH join is
     the 100 TB path: candidates ~ true-positive pairs, never all pairs.
     """
+    # Fail fast on a banding that cannot mean what it says: bands >
+    # n_hashes makes rows-per-band 0, so every band key becomes
+    # xxhash64(empty slice) — the SAME constant for every doc — and
+    # the "LSH" join silently degenerates to all-pairs O(n^2), the
+    # exact blow-up the simhash path fail-fasts against. A non-divisor
+    # bands silently ignores the trailing signature entries.
+    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_near_duplicates: bands={bands} must be a positive "
+            f"divisor of n_hashes={n_hashes} (rows per band = "
+            "n_hashes/bands must be a whole number >= 1)"
+        )
     rows = n_hashes // bands
     # Signature computation (shingle + 64 min-aggs) feeds both join
     # sides — materialize once (staging table at 100 TB).
@@ -259,10 +271,17 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
 
     Driver-side loop, data-side joins: each iteration is one join +
     aggregate; `localCheckpoint` truncates lineage so the plan stays
-    flat. Converges in O(log(diameter)) iterations (min labels hop
-    both directions each round) — the standard scalable alternative to
-    union-find, which cannot be distributed. Dedup components are tiny
-    cliques in practice, so 2-3 iterations suffice at any scale.
+    flat. Plain one-hop min propagation converges in O(diameter)
+    iterations — NOT O(log): the min label moves one edge per round.
+    That is the right trade here because dedup components are near-
+    cliques in practice (every copy pairs with every other, diameter
+    1-2), so 2-3 iterations suffice at any scale and each keeps the
+    simple equi-join shape. A corpus whose duplicates drift GRADUALLY
+    (a 1,000-version chain where only adjacent versions clear the
+    similarity threshold) would pay ~1,000 driver-side rounds; if
+    that shape matters, switch to a pointer-doubling / large-star-
+    small-star variant (O(log) rounds at ~2x the per-round join work)
+    — the propagation loop below is the only thing that changes.
 
     Resource note: each iteration's ``localCheckpoint`` stores its
     result; superseded checkpoints are freed by Spark's ContextCleaner

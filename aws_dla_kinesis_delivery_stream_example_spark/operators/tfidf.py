@@ -196,6 +196,15 @@ def tfidf_cosine_pairs(
             "w_m",
             _checked_milliweight(F.round(F.col("w") * 1000, 0).cast("long")),
         )
+        # Drop zero-weight postings (idf = 0 for a token present in
+        # EVERY doc): they contribute nothing to any dot product or
+        # norm, they widen the hottest possible join key, and a doc
+        # whose tokens are ALL zero-weight would get nrm = 0 — whose
+        # 0/0 cosine THROWS under Spark 4's default ANSI mode while
+        # the DuckDB oracle yields NULL and drops the pair. With the
+        # filter, such a doc simply has no postings and no pairs —
+        # the same answer set as the oracle's NULL-filtered rows.
+        .filter(F.col("w_m") != 0)
     )
     norms = w.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w_m") * F.col("w_m")).cast("double")).alias("nrm")

@@ -192,8 +192,15 @@ def q67_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.agg(
         F.sum("n_tok").cast("double").alias("total"), F.sum("w").alias("sumw")
     )
+    # nullif: a source whose docs are all empty/whitespace has
+    # n_tok = 0 (a real SUM over zero counts, not NULL) — ANSI Spark
+    # would throw DIVIDE_BY_ZERO where the DuckDB oracle yields NULL;
+    # nullif makes both emit a NULL sample_rate row (FIXTURES.md rule)
     rate = F.least(
-        F.lit(1.0), (F.col("w") / F.col("sumw")) * F.col("total") / F.col("n_tok")
+        F.lit(1.0),
+        (F.col("w") / F.col("sumw"))
+        * F.col("total")
+        / F.nullif(F.col("n_tok"), F.lit(0)),
     )
     return (
         t.crossJoin(F.broadcast(g))

@@ -521,3 +521,50 @@ def test_ivf_multiprobe_radius_means_what_it_says(spark):
     assert top1(2) == 0, "radius-2 must recover the true neighbor"
     with _pytest.raises(ValueError, match="hamming_probes"):
         ivf_topk(cand_df, q_df, k=1, n_bits=3, hamming_probes=4)
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    """bands > n_hashes would make every band key the hash of an
+    EMPTY signature slice — one constant for all docs, silently
+    degrading LSH to an all-pairs join — and a non-divisor silently
+    ignores trailing signature entries; both must raise."""
+    import pytest as _pytest
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+
+    docs = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta", "s")])
+    for n_hashes, bands in ((8, 16), (64, 24), (64, 0)):
+        with _pytest.raises(ValueError, match="bands"):
+            dedup.minhash_near_duplicates(
+                docs, "doc_id", "text", n_hashes=n_hashes, bands=bands
+            )
+
+
+def test_tfidf_zero_weight_doc_does_not_crash(spark):
+    """A doc made entirely of corpus-universal tokens (idf = 0) used
+    to produce a zero norm and a 0/0 division that ABORTS the job
+    under Spark 4's default ANSI mode; zero-weight postings are now
+    dropped, so the doc simply pairs with nothing — the same answer
+    the DuckDB oracle's NULL-cosine filter produces."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import tfidf as TF
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the", "s"),  # only the universal token: zero norm
+            (2, "the foo bar baz", "s"),
+            (3, "the foo bar qux", "s"),
+        ],
+    )
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in TF.tfidf_cosine_pairs(
+                docs, "doc_id", "text", threshold=0.01
+            ).collect()
+        }
+    finally:
+        release_staging(blocking=True)
+        spark.catalog.clearCache()
+    assert (1, 2) not in pairs and (1, 3) not in pairs
+    assert (2, 3) in pairs  # real overlap on non-universal tokens survives
