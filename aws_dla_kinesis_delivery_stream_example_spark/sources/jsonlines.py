@@ -47,17 +47,27 @@ def generate_bank_accounts(spark: SparkSession, n: int, partitions: int = 10) ->
 
 def produce_jsonlines(df: DataFrame, out_dir: str, n_files: int | None = None) -> str:
     """S1 parity: land records as JSON-line files (the put_records batch
-    -> the source dir). One file per partition = one put_records batch."""
-    writer = df.coalesce(n_files) if n_files else df
+    -> the source dir). One file per partition = one put_records batch.
+
+    ``n_files`` is honored in BOTH directions: coalesce can only
+    REDUCE partition count, so asking for more files than the frame
+    has partitions needs a repartition (a caller modeling 20
+    put_records batches from a 4-partition frame would otherwise
+    silently get 4 files — and 4 micro-batches under
+    maxFilesPerTrigger=1)."""
+    if n_files:
+        cur = df.rdd.getNumPartitions()
+        writer = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
+    else:
+        writer = df
     writer.write.mode("append").json(out_dir)
     return out_dir
 
 
 def drop_batch(df: DataFrame, out_dir: str) -> str:
-    """Land one more micro-batch file set into a live source dir."""
-    sub = os.path.join(out_dir)  # same dir: file source picks up new files
-    df.write.mode("append").json(sub)
-    return sub
+    """Land one more micro-batch file set into a live source dir (the
+    file source picks up the new files on its next trigger)."""
+    return produce_jsonlines(df, out_dir)
 
 
 def jsonlines_stream(spark: SparkSession, source_dir: str, schema=None, max_files: int = 1000):

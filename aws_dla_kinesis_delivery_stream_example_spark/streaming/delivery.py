@@ -199,6 +199,7 @@ class DeliveryPipeline:
         if with_json.isEmpty():
             with_json.unpersist()
             return
+        transformed = None  # assigned mid-try; finally must not NameError
         try:
             backup_failed = self._write_backup(with_json, batch_id)
 
@@ -255,8 +256,13 @@ class DeliveryPipeline:
             if backup_failed:
                 self.result.n_backup_failed += m["n_input"]
             self.result.n_batches += 1
-            transformed.unpersist()
         finally:
+            # BOTH persisted frames release in the finally: a sink-write
+            # exception otherwise leaks `transformed`, and a crash-replay
+            # persists a fresh copy per retry — executor storage memory
+            # would grow monotonically across retries
+            if transformed is not None:
+                transformed.unpersist()
             with_json.unpersist()
 
     # strftime formats (driver-side): rotation must be computed ONCE per
@@ -298,10 +304,17 @@ class DeliveryPipeline:
         )
         docs = ok.select(id_col.alias("id"), F.col("payload"))
         if self.index_rotation != "NoRotation":
-            from datetime import datetime
+            from datetime import datetime, timezone
 
             fmt = self._ROTATION_FMT[self.index_rotation]
-            stamp = datetime.fromtimestamp(self._rotation_epoch(batch_id)).strftime(fmt)
+            # UTC, explicitly: Firehose rotates indexes on UTC
+            # boundaries, and a driver-local rendering would defeat the
+            # _rotation_epoch replay guard — a restart under a
+            # different host TZ would re-render the SAME pinned epoch
+            # into a DIFFERENT index name and duplicate the documents
+            stamp = datetime.fromtimestamp(
+                self._rotation_epoch(batch_id), tz=timezone.utc
+            ).strftime(fmt)
             docs = docs.withColumn("index_name", F.lit(f"documents-{stamp}"))
         attempts = 0
         while True:
@@ -329,6 +342,12 @@ class DeliveryPipeline:
     def run(self, await_termination: bool = True):
         """Start the streaming query. With trigger_seconds=None uses
         availableNow (drain the source and stop — the test/bench mode)."""
+        # recentProgress retains only the LAST N progress entries
+        # (default 100): a drain with more micro-batches than that
+        # would silently undercount throughput() and drop the head of
+        # the K8 progress log. Raise the retention to cover any drain
+        # this pipeline runs (one entry is a few KB of driver memory).
+        self.spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
         reader = self.spark.readStream.schema(self.payload_schema)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)

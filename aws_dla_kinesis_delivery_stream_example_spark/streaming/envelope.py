@@ -25,13 +25,10 @@ from pyspark.sql import types as T
 from ..functions import serde
 from .transform import STATUS_DROPPED, STATUS_FAILED, STATUS_OK, apply_transform
 
-ENVELOPE_SCHEMA = T.StructType(
-    [
-        T.StructField("recordId", T.StringType(), False),
-        T.StructField("approximateArrivalTimestamp", T.LongType(), True),
-        T.StructField("data", T.StringType(), False),
-    ]
-)
+# ONE definition of the Firehose envelope shape (functions/serde.py);
+# a local copy could drift from the serde the payloads round-trip
+# through. Re-exported under the historical name for callers.
+ENVELOPE_SCHEMA = serde.ENVELOPE_RECORD_SCHEMA
 
 
 def envelope_df(spark: SparkSession, event: dict) -> DataFrame:
@@ -49,7 +46,19 @@ def transform_envelope(
     """envelope records -> {recordId, result, data} with T1/T2/T6
     semantics: recordId echoed, OK payload re-encoded from the
     transformed record, Dropped/ProcessingFailed carry the ORIGINAL
-    base64 payload untouched."""
+    base64 payload untouched.
+
+    Documented deviation (declarative path): decode failure is
+    SCHEMA-VALIDATED, not just parse-validated — a record that is
+    valid JSON but type-mismatched against ``payload_schema`` (e.g.
+    ``"balance": "not-a-number"`` for a LongType field) routes to
+    ProcessingFailed here, where the reference's bare ``json.loads``
+    would accept the dict and fail (or not) somewhere inside the
+    transform body. Strict-at-the-boundary is the deliberate
+    strengthening: the typed payload columns downstream are never
+    silently null from a coercion failure. The black-box ``fn`` path
+    keeps exact reference semantics (json.loads + transform + DropIt
+    inside the UDF)."""
     # Parse with a corrupt-record column: PERMISSIVE from_json yields an
     # all-null struct on malformed input (not a null struct), so decode
     # failure is only detectable via columnNameOfCorruptRecord.
@@ -64,6 +73,16 @@ def transform_envelope(
     )
     payload_struct = F.struct(*[F.col(f"rec.{f.name}") for f in payload_schema.fields])
     if fn is not None:
+        # the black-box fn owns ALL routing (it raises DropIt /
+        # exceptions itself, the reference Lambda contract) — refuse
+        # declarative predicates rather than silently ignoring them
+        if drop_when is not None or fail_when is not None:
+            raise ValueError(
+                "transform_envelope: drop_when/fail_when cannot be "
+                "combined with a black-box fn — the fn's own "
+                "DropIt/exception routing decides every record's "
+                "status; encode the predicates inside fn instead"
+            )
         routed = apply_transform(decoded, fn=fn, json_col="json_line")
         ok_data = serde.encode_raw_line("payload")
     else:

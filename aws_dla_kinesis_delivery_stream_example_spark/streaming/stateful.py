@@ -51,9 +51,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
+        # Sum in the SAME exact integer centi-units as the streaming
+        # state (bround = pandas' half-even rounding), not raw doubles:
+        # a raw double sum is accumulation-order-dependent and suffers
+        # catastrophic cancellation (e.g. [1e15, 0.07, -1e15] sums to
+        # 0.12-ish at ulp(1e15)=0.125 where the centi-unit state gives
+        # exactly 0.07), which would make the promised stream == batch
+        # verification fail on values the integer state handles exactly.
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (
+                F.sum(F.bround(F.col("value") * 100, 0).cast("long")) / 100.0
+            ).alias("total_value"),
         )
     ensure_shipped(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(

@@ -127,11 +127,18 @@ def apply_transform(
     if fn is not None:
         res = transform_udf(fn)(F.col(json_col))
         return df.withColumn("payload", res["payload"]).withColumn("status", res["status"])
+    # FAILED outranks DROPPED when both predicates hold: in the
+    # reference Lambda, json.loads raises BEFORE any DropIt can be
+    # evaluated, so a record that is both undecodable and drop-matched
+    # must route to ProcessingFailed (original payload preserved for
+    # the error sink), never silently to Dropped — a drop predicate
+    # over all-null decoded fields would otherwise reclassify decode
+    # failures. Hence fail_when wraps LAST (checked first).
     status = F.lit(STATUS_OK)
-    if fail_when is not None:
-        status = F.when(fail_when, STATUS_FAILED).otherwise(status)
     if drop_when is not None:
         status = F.when(drop_when, STATUS_DROPPED).otherwise(status)
+    if fail_when is not None:
+        status = F.when(fail_when, STATUS_FAILED).otherwise(status)
     out = df
     for name, col in (declarative or {}).items():
         out = out.withColumn(name, col)

@@ -116,3 +116,58 @@ def test_unicode_envelope_roundtrip(spark):
     out = handle_event(spark, _event(rec))
     decoded = json.loads(base64.b64decode(out["records"][0]["data"]).decode("utf-8"))
     assert decoded["description"] == "日本語テキスト with ünïcode"
+
+def test_decode_failure_outranks_drop_predicate(spark):
+    """A record that is BOTH undecodable and drop-matched must route
+    to ProcessingFailed with the original payload — in the reference,
+    json.loads raises before any DropIt can be evaluated, so a drop
+    predicate over the (all-null) decoded fields must never reclassify
+    a decode failure as Dropped."""
+    bad = base64.b64encode(b"}{ not json\n").decode("utf-8")
+    event = {
+        "records": [
+            {"recordId": "r-bad", "approximateArrivalTimestamp": 1, "data": bad}
+        ]
+    }
+    df = envelope_df(spark, event)
+    # isNull() is TRUE on the undecodable record's null balance — the
+    # exact predicate shape that used to win over decode failure
+    out = transform_envelope(df, drop_when=F.col("rec.balance").isNull()).collect()
+    assert out[0]["result"] == "ProcessingFailed"
+    assert out[0]["data"] == bad
+
+
+def test_fn_with_declarative_predicates_raises(spark):
+    """The black-box fn owns all routing; combining it with
+    drop_when/fail_when must raise instead of silently ignoring the
+    predicates (records they matched would otherwise deliver as Ok)."""
+    df = envelope_df(
+        spark,
+        {
+            "records": [
+                {
+                    "recordId": "r-1",
+                    "approximateArrivalTimestamp": 1,
+                    "data": base64.b64encode(b'{"id": "x"}\n').decode("utf-8"),
+                }
+            ]
+        },
+    )
+    with pytest.raises(ValueError, match="drop_when"):
+        transform_envelope(df, fn=lambda d: d, drop_when=F.lit(True))
+
+
+def test_stateful_batch_fallback_exact_on_cancellation_set(spark):
+    """The batch fallback must sum in the same integer centi-units as
+    the streaming state: a raw double sum loses 0.07 to catastrophic
+    cancellation on [1e15, 0.07, -1e15] (ulp(1e15) = 0.125)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1e15), (1, 0.07), (1, -1e15)], "user_id long, value double"
+    )
+    rows = running_user_totals(df).collect()
+    assert rows[0]["n_events"] == 3
+    assert abs(rows[0]["total_value"] - 0.07) < 1e-9
