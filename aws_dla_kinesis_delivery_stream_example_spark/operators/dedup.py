@@ -115,9 +115,18 @@ def shingle_jaccard_pairs(
 
 
 def _shingle_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, mod: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    mod: int | None = None,
+    id_type: str = "long",
 ) -> DataFrame:
     """(doc, h) rows: one 60-bit hash per DISTINCT word n-gram.
+
+    ``id_type`` is the output type of the ``doc`` column (``long`` for
+    document ids; ``string`` lets a GROUPING value like source ride
+    through — the cross-source overlap audit shingles per source).
 
     Arrow-batched Python, not JVM expressions: building shingle strings
     with interpreted transform/slice/concat_ws costs more than the whole
@@ -166,7 +175,7 @@ def _shingle_hash_rows(
 
     ensure_shipped(df.sparkSession)
     return df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).mapInPandas(
-        run, "doc long, h long"
+        run, f"doc {id_type}, h long"
     )
 
 

@@ -10,6 +10,7 @@ from . import llm  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import curation2  # noqa: E402,F401
 from . import curation3  # noqa: E402,F401
+from . import curation4  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401

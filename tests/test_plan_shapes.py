@@ -148,6 +148,15 @@ def test_round8_exchange_budgets(spark):
         ("q98_token_chunking", 2),  # narrow map; ONLY the catalog sort shuffles
         ("q99_similar_doc_graph", 3),  # staged pairs -> window + sort
         ("q100_embedding_cross_dedup", 3),  # bucket hash + applyInPandas + sort
+        # round-8 second batch (q103-q107), measured + headroom:
+        ("q103_chunk_dedup_rewrite", 6),  # first-occurrence agg + join-back + doc agg + sort (staged chunks)
+        ("q104_weighted_sample", 4),  # salted window + source window + sort
+        ("q105_rolling_zscore", 3),  # ONE WindowExec pass (3 frame aggs share it) + sort
+        ("q106_source_overlap", 8),  # sizes agg + per-shingle fold + pair agg + 2 bcast joins + sort
+        # q107: staged edges + staged per-iteration ranks; the final
+        # round's join/agg/join + sort — UNstaged rank lineage doubles
+        # per iteration (measured 31 at 3 iters)
+        ("q107_doc_pagerank", 7),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:
