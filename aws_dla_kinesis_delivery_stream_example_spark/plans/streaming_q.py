@@ -377,3 +377,65 @@ def q91_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q108_streaming_zscore",
+    oracle="""
+        WITH b AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 1000) AS BIGINT) AS v_milli
+            FROM events
+        ),
+        st AS (
+            SELECT event_id, user_id, v_milli,
+                   count(v_milli) OVER w AS n,
+                   sum(v_milli) OVER w AS s,
+                   sum(v_milli * v_milli) OVER w AS ss
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT event_id, user_id, v_milli,
+                   (CAST(v_milli AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     / sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS z
+            FROM st
+            WHERE n >= 10 AND n * ss - s * s > 0
+        )
+        SELECT event_id, user_id, v_milli, round(z, 3) AS z
+        FROM z
+        WHERE abs(z) >= 3.0
+        ORDER BY event_id
+    """,
+    description="STREAMING rolling z-score anomaly detection: "
+    "applyInPandasWithState holds a bounded ring of the last 20 "
+    "milli-unit values per user and APPENDS flagged events (|z| >= 3) "
+    "as they arrive, driven through the real streaming path on the "
+    "closed events table — the live face of q105, hash-equal to the "
+    "batch window plan because both walk the identical exact-integer "
+    "state (same IEEE op sequence for z)",
+    tags=("streaming", "stateful", "anomaly"),
+)
+def q108_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State scales with |users| x 20 BIGINTs, never |events|; the
+    in-order-per-key delivery contract (Kinesis per-shard ordering)
+    and the multi-micro-batch state carryover are asserted separately
+    in tests/test_stateful.py — the catalog drain closes the input in
+    one availableNow pass."""
+    from ..streaming.stateful import streaming_rolling_zscore
+
+    def op(stream):
+        base = stream.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 1000, 0).cast("long").alias("v_milli"),
+        )
+        return streaming_rolling_zscore(base)
+
+    out = _stream_events_closed(spark, sf_dir, op, "append")
+    return (
+        out.select("event_id", "user_id", "v_milli", F.round("z", 3).alias("z"))
+        .orderBy("event_id")
+    )

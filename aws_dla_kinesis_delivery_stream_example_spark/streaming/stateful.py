@@ -72,3 +72,111 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming rolling z-score anomaly detection (the streaming face of
+# operators/anomaly.rolling_zscore, catalog q105).
+
+ZS_OUTPUT_SCHEMA = "event_id long, user_id long, v_milli long, z double"
+# Last <= lookback milli-unit values per key, oldest first: the state
+# is a fixed-width ring of BIGINTs — at 100 TB of events the store
+# scales with |users| x lookback, not |events|.
+ZS_STATE_SCHEMA = "vals array<long>"
+
+ZS_LOOKBACK = 20
+ZS_MIN_N = 10
+ZS_THRESHOLD = 3.0
+
+
+def _zs_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math as _math
+
+    import pandas as _pd
+
+    vals: list[int] = list(state.get[0]) if state.exists else []
+    out_eid: list[int] = []
+    out_v: list[int] = []
+    out_z: list[float] = []
+    for pdf in batches:
+        # within-batch event-time order; ACROSS batches the operator
+        # relies on per-key in-order delivery (the Kinesis per-shard
+        # ordering model the reference pipeline is built on)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["v_milli"]):
+            v = int(v)
+            n = len(vals)
+            if n >= ZS_MIN_N:
+                s = sum(vals)
+                ss = sum(x * x for x in vals)
+                var_num = n * ss - s * s
+                if var_num > 0:
+                    # IDENTICAL IEEE op sequence as the batch plan
+                    # (div/sub/div/sqrt on exact integers), so stream
+                    # z == batch z bit-for-bit
+                    z = (float(v) - float(s) / n) / _math.sqrt(
+                        float(var_num) / (n * (n - 1))
+                    )
+                    if abs(z) >= ZS_THRESHOLD:
+                        out_eid.append(int(eid))
+                        out_v.append(v)
+                        out_z.append(z)
+            vals.append(v)
+            if len(vals) > ZS_LOOKBACK:
+                vals.pop(0)
+    state.update((vals,))
+    yield _pd.DataFrame(
+        {
+            "event_id": _pd.Series(out_eid, dtype="int64"),
+            "user_id": _pd.Series([key[0]] * len(out_eid), dtype="int64"),
+            "v_milli": _pd.Series(out_v, dtype="int64"),
+            "z": _pd.Series(out_z, dtype="float64"),
+        }
+    )
+
+
+def streaming_rolling_zscore(events: DataFrame) -> DataFrame:
+    """Streaming: per-user rolling z-score outliers (|z| >= 3 against
+    the previous <= 20 values, >= 10 required) — flagged events are
+    APPENDED as they happen; state is a bounded ring of 20 BIGINTs per
+    user. Input must carry (event_id, user_id, ts, v_milli) with
+    v_milli already in exact integer milli-units (round upstream in
+    the DataFrame, NOT here: pandas .round is half-even while the
+    batch plan's F.round is half-up — rounding inside the state
+    function would silently diverge on exact .5 ties).
+
+    Ordering contract: within a micro-batch the group is sorted by
+    (ts, event_id); across micro-batches the operator assumes per-key
+    in-order delivery — the Kinesis per-shard (per partition key)
+    ordering guarantee the reference pipeline is built on
+    (kds_example/README.rst "ordered by arrival within a shard").
+    Late/out-of-order events need a watermark-buffered variant; the
+    batch plan (q105) is the replayable source of truth for backfills,
+    and the two agree bit-for-bit on in-order input (asserted in
+    tests/test_stateful.py).
+
+    Batch fallback: operators/anomaly.rolling_zscore on the identical
+    milli-unit column, for stream == batch verification.
+    """
+    if not events.isStreaming:
+        from ..operators.anomaly import rolling_zscore
+
+        return rolling_zscore(
+            events,
+            "user_id",
+            ("ts", "event_id"),
+            "v_milli",
+            lookback=ZS_LOOKBACK,
+            min_n=ZS_MIN_N,
+            z_threshold=ZS_THRESHOLD,
+        ).select("event_id", "user_id", "v_milli", "z")
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _zs_update,
+        outputStructType=ZS_OUTPUT_SCHEMA,
+        stateStructType=ZS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -381,9 +381,26 @@ def extreme_tier_rehearsal(
     spans.unpersist()
     spark.catalog.clearCache()
 
+    # q103 chunk-dedup rewrite at the extreme tier: like q93 it claims
+    # strict linearity in corpus tokens (min-struct hash agg, no pair
+    # join), so the marginal decade is where hidden superlinearity
+    # would surface. Candidates := total chunks.
+    rw = CU.chunk_dedup_rewrite(docs, "doc_id", "text").persist()
+    _, row["rewrite_sec"] = timed(rw.count)
+    row["rewrite_candidates"] = int(
+        rw.agg(F.sum("n_chunks")).collect()[0][0] or 0
+    )
+    rw.unpersist()
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging as _release,
+    )
+
+    _release()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
-        for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans"):
+        for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite"):
             c_lo = max(ref_row[f"{op}_candidates"], 1)
             c_hi = max(row[f"{op}_candidates"], 1)
             row[f"{op}_exponent_vs_10x"] = round(
@@ -681,6 +698,52 @@ def main() -> None:
         row["crossdedup_candidates"] = n_xd
         release_staging()
 
+        # round-8 second batch: q103 rewrite (chunk family — candidates
+        # := total chunks, linear in corpus tokens by construction;
+        # removed-chunk count recorded alongside), q106 source overlap
+        # (per-shingle source-set fold — candidates := summed shared-
+        # shingle counts across pairs), q107 pagerank (df-capped pair
+        # family — candidates := symmetric edge count, sum(degree)).
+        # q104 is two k-row-output windows (no hazard to curve); q105
+        # is one linear window pass over events, timed on the REAL
+        # tiers only (the synth tiers replicate documents, not events).
+        rw = specs["q103_chunk_dedup_rewrite"].spark(spark, sf_dir).persist()
+        _, row["rewrite_sec"] = timed(rw.count)
+        rr = rw.agg(
+            F.sum("n_chunks").alias("nc"),
+            F.sum(F.col("n_chunks") - F.col("n_kept")).alias("rm"),
+        ).collect()[0]
+        row["rewrite_candidates"] = int(rr["nc"] or 0)
+        row["rewrite_removed_chunks"] = int(rr["rm"] or 0)
+        rw.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        so = specs["q106_source_overlap"].spark(spark, sf_dir).persist()
+        _, row["srcoverlap_sec"] = timed(so.count)
+        row["srcoverlap_candidates"] = int(
+            so.agg(F.sum("n_shared")).collect()[0][0] or 0
+        )
+        so.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        pr = specs["q107_doc_pagerank"].spark(spark, sf_dir).persist()
+        _, row["pagerank_sec"] = timed(pr.count)
+        row["pagerank_candidates"] = int(
+            pr.agg(F.sum("degree")).collect()[0][0] or 0
+        )
+        pr.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+            row["n_events"] = load_table(spark, sf_dir, "events").count()
+            n_out, row["zscore_sec"] = timed(
+                lambda: specs["q105_rolling_zscore"].spark(spark, sf_dir).count()
+            )
+            row["zscore_candidates"] = n_out
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -694,10 +757,25 @@ def main() -> None:
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
+        "rewrite", "srcoverlap", "pagerank",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)
+    # q105 runs on the real tiers only (no events in the synth tiers):
+    # its exponent is computed over the events span, not documents
+    zlo, zhi = results[SFS[0][0]], results[SFS[-1][0]]
+    if "zscore_candidates" in zlo and "zscore_candidates" in zhi:
+        zgrowth = math.log10(max(zhi["n_events"], 1) / max(zlo["n_events"], 1))
+        summary["zscore_span_events"] = f'{zlo["n_events"]}->{zhi["n_events"]}'
+        summary["zscore_candidate_exponent"] = round(
+            math.log10(
+                max(zhi["zscore_candidates"], 1) / max(zlo["zscore_candidates"], 1)
+            ) / zgrowth, 2
+        )
+        summary["zscore_time_ratio"] = round(
+            zhi["zscore_sec"] / max(zlo["zscore_sec"], 0.01), 1
+        )
     print("SCALESUMMARY " + json.dumps(summary), flush=True)
 
     # valve-engagement measurement (band-crowded corpus on the largest

@@ -118,3 +118,55 @@ def test_delivery_throughput_metrics(spark, tmp_path):
     assert tp["rows"] == p.count_sink_records("03-success") + p.result.n_failed
     prog_dir = os.path.join(str(tmp_path / "dest"), "_progress")
     assert os.path.isdir(prog_dir) and any(os.scandir(prog_dir))
+
+def test_streaming_zscore_multibatch_equals_batch(spark, tmp_path):
+    """Rolling z-score state must carry the 20-value ring ACROSS
+    micro-batches: split the events table into two time-ordered files
+    (every ts in b1 < every ts in b2, so the per-key in-order contract
+    holds) and drain with maxFilesPerTrigger=1 — the flagged set,
+    including the z doubles, must equal the batch window plan
+    bit-for-bit. A state reset at the batch boundary would both drop
+    flags (warm-up re-entered) and shift every early-b2 z."""
+    import os as _os
+
+    from pyspark.sql.functions import col, round as sround
+
+    from aws_dla_kinesis_delivery_stream_example_spark.streaming.stateful import (
+        streaming_rolling_zscore,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", sround(col("value") * 1000, 0).cast("long").alias("v_milli")
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "src")
+    ev.filter(F.expr(f"unix_micros(ts) < {int(cut)}")).coalesce(1).write.parquet(
+        _os.path.join(src, "b1")
+    )
+    ev.filter(F.expr(f"unix_micros(ts) >= {int(cut)}")).coalesce(1).write.parquet(
+        _os.path.join(src, "b2")
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, v_milli long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_rolling_zscore(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.v_milli, r.z)
+        for r in spark.sql("SELECT * FROM zs_out").collect()
+    }
+    want = {
+        (r.event_id, r.v_milli, r.z)
+        for r in streaming_rolling_zscore(ev).collect()
+    }
+    assert got == want and len(want) > 0
