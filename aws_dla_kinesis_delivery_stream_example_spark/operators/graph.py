@@ -23,7 +23,11 @@ PR_TELEPORT = 150_000
 
 
 def pagerank_fixed_point(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", iters: int = 3
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank on an UNDIRECTED pair list (each pair becomes two
     directed edges), in fixed-point micro-unit integer arithmetic:
@@ -51,6 +55,16 @@ def pagerank_fixed_point(
     list is NOT staged: its own expensive prefix (the shingle join) is
     already staged inside the pair operator, and a second cache layer
     only adds a materialization barrier (measured slower).
+
+    Lineage at iters >> 3: persisting per-iteration keeps the WORK
+    linear but the logical plan tree still nests one level per
+    iteration (an unbounded driver-side analysis/optimization cost and
+    eventual StackOverflow at tens of iterations) — so every
+    ``checkpoint_every`` iterations the rank frame is
+    ``localCheckpoint``-ed, truncating lineage to the node-sized
+    checkpoint (the q49 duplicate_clusters discipline; superseded
+    checkpoints are freed by the ContextCleaner). Asserted by a
+    plan-size test at iters=6 in tests/test_round9_ops.py.
     """
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -64,7 +78,11 @@ def pagerank_fixed_point(
         .select(F.col("src").alias("doc"), "dg")
         .withColumn("r", F.lit(PR_INIT).cast("long"))
     )
-    for _ in range(iters):
+    for it in range(iters):
+        if it and it % checkpoint_every == 0:
+            # truncate lineage: the checkpoint replaces the nested
+            # join/agg tree with a leaf scan of the materialized ranks
+            ranks = ranks.localCheckpoint()
         ranks = stage(ranks)
         contrib = (
             edges.join(

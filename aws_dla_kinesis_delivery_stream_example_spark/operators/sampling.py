@@ -55,10 +55,41 @@ def weighted_sample(
     no window partition ever sorts more than ~1/n_salt of a stratum —
     a single-stage per-stratum window would sort a whole stratum's
     rows on one partition at 100 TB.
+
+    Contract: ``id_col`` must be NUMERIC — the salt is ``id % n_salt``
+    and under non-ANSI Spark a string id makes the modulo NULL,
+    silently collapsing every row into one salt partition (correct
+    output, but the two-stage scale shape is defeated). And weights
+    must be STRICTLY POSITIVE: w=0 divides by zero in the key (throws
+    under ANSI Spark, aborting the job on one bad row) and w<0 inverts
+    the Efraimidis-Spirakis ordering — both raise at runtime via a
+    guarded key expression rather than producing a wrong sample.
     """
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type is None or not (
+        id_type in _NUMERIC or id_type.startswith("decimal")
+    ):
+        raise TypeError(
+            f"weighted_sample: id_col {id_col!r} must be numeric for the "
+            f"id % n_salt two-stage salt, got {id_type!r} — hash or zip "
+            "string ids to a numeric surrogate first (e.g. xxhash64(id))"
+        )
     w_expr = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     w_expr = w_expr.cast("long")
-    key = -F.log(hash_uniform(id_col)) / w_expr.cast("double")
+    # Fail fast on non-positive weights (mirrors the bands/radius/id
+    # validations elsewhere): raise_error is codegen'd and only fires
+    # on the bad row, so the hot path cost is one comparison.
+    w_checked = F.when(
+        w_expr <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight for id "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w_expr)
+    key = -F.log(hash_uniform(id_col)) / w_checked.cast("double")
     keyed = df.select(
         strata_col,
         id_col,

@@ -333,8 +333,8 @@ def q99_similar_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT n.vec_id AS vec_new, c.vec_id AS vec_corpus,
                    round(list_sum(list_transform(generate_series(1, len(n.embedding)),
                          i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                     / nullif(sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 4)
                    AS cos_sim
             FROM b n JOIN b c ON n.bucket = c.bucket
             WHERE n.vec_id % 2 = 1 AND c.vec_id % 2 = 0

@@ -118,6 +118,13 @@ class DeliveryPipeline:
     # setting, iac/s2_app.py:845); other values partition the document
     # sink by a time-derived index name.
     index_rotation: str = "NoRotation"  # NoRotation|OneHour|OneDay|OneMonth
+    # K8: recentProgress retains only the last N entries (Spark default
+    # 100); a drain with more micro-batches would silently undercount
+    # throughput() and drop the head of the progress log, so run()
+    # raises the session retention to this for the query's lifetime and
+    # RESTORES the prior value afterwards (an explicit knob rather than
+    # a permanent global side effect on the shared SparkSession).
+    progress_retention: int = 10_000
 
     def __post_init__(self) -> None:
         valid = ("NoRotation", *self._ROTATION_FMT)
@@ -342,12 +349,14 @@ class DeliveryPipeline:
     def run(self, await_termination: bool = True):
         """Start the streaming query. With trigger_seconds=None uses
         availableNow (drain the source and stop — the test/bench mode)."""
-        # recentProgress retains only the LAST N progress entries
-        # (default 100): a drain with more micro-batches than that
-        # would silently undercount throughput() and drop the head of
-        # the K8 progress log. Raise the retention to cover any drain
-        # this pipeline runs (one entry is a few KB of driver memory).
-        self.spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+        # Raise the progress retention (see progress_retention field) —
+        # Spark reads this conf on EVERY progress update, so it must
+        # stay raised for the query's lifetime. The drain path restores
+        # the prior value after termination; a continuous-mode caller
+        # should call restore_progress_retention() after stopping.
+        _RET_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+        self._prior_progress_retention = self.spark.conf.get(_RET_KEY, None)
+        self.spark.conf.set(_RET_KEY, str(self.progress_retention))
         reader = self.spark.readStream.schema(self.payload_schema)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -366,9 +375,25 @@ class DeliveryPipeline:
         query = writer.start()
         self.last_query = query
         if await_termination and self.trigger_seconds is None:
-            query.awaitTermination()
-            self._log_progress(query)
+            try:
+                query.awaitTermination()
+                self._log_progress(query)
+            finally:
+                self.restore_progress_retention()
         return query
+
+    def restore_progress_retention(self) -> None:
+        """Undo run()'s session-wide progress-retention raise (no-op if
+        run() hasn't set it or it was already restored)."""
+        _RET_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+        prior = getattr(self, "_prior_progress_retention", "unset")
+        if prior == "unset":
+            return
+        if prior is None:
+            self.spark.conf.unset(_RET_KEY)
+        else:
+            self.spark.conf.set(_RET_KEY, prior)
+        self._prior_progress_retention = "unset"
 
     # -- K8 observability: per-delivery-stream progress log --------------
     @staticmethod

@@ -100,10 +100,23 @@ def _zs_update(
     out_eid: list[int] = []
     out_v: list[int] = []
     out_z: list[float] = []
-    for pdf in batches:
-        # within-batch event-time order; ACROSS batches the operator
-        # relies on per-key in-order delivery (the Kinesis per-shard
-        # ordering model the reference pipeline is built on)
+    # applyInPandasWithState splits a group exceeding
+    # spark.sql.execution.arrow.maxRecordsPerBatch (~10k rows) into
+    # multiple chunks delivered in arbitrary post-shuffle order, so the
+    # (ts, event_id) sort MUST happen over the concatenated whole, not
+    # per chunk — a per-chunk sort silently violates the documented
+    # within-micro-batch ordering for large groups.  Per-key micro-batch
+    # volume bounds the concat buffer.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else _pd.concat(chunks, ignore_index=True)
+        )
+        # within-micro-batch event-time order; ACROSS batches the
+        # operator relies on per-key in-order delivery (the Kinesis
+        # per-shard ordering model the reference pipeline is built on)
         pdf = pdf.sort_values(["ts", "event_id"])
         for eid, v in zip(pdf["event_id"], pdf["v_milli"]):
             v = int(v)
@@ -152,10 +165,21 @@ def streaming_rolling_zscore(events: DataFrame) -> DataFrame:
     in-order delivery — the Kinesis per-shard (per partition key)
     ordering guarantee the reference pipeline is built on
     (kds_example/README.rst "ordered by arrival within a shard").
-    Late/out-of-order events need a watermark-buffered variant; the
-    batch plan (q105) is the replayable source of truth for backfills,
-    and the two agree bit-for-bit on in-order input (asserted in
-    tests/test_stateful.py).
+
+    Late data: if the input stream carries ``withWatermark("ts", d)``,
+    events older than the watermark are DROPPED before they reach the
+    state function — protecting the ring from out-of-order poisoning
+    (one stale extreme value would shift every subsequent z). Spark
+    applies its late-row filter to this operator family only under
+    ``GroupStateTimeout.EventTimeTimeout`` (under NoTimeout late rows
+    pass straight through — measured, and pinned by
+    tests/test_round9_ops.py), so the timeout conf switches to
+    EventTimeTimeout exactly when the plan carries an
+    EventTimeWatermark node; no per-key timeout is ever registered, so
+    no state expires. The batch plan (q105) over the late-filtered
+    input is the replayable source of truth for backfills, and the two
+    agree bit-for-bit (asserted in tests/test_stateful.py and
+    test_round9_ops.py).
 
     Batch fallback: operators/anomaly.rolling_zscore on the identical
     milli-unit column, for stream == batch verification.
@@ -173,10 +197,17 @@ def streaming_rolling_zscore(events: DataFrame) -> DataFrame:
             z_threshold=ZS_THRESHOLD,
         ).select("event_id", "user_id", "v_milli", "z")
     ensure_shipped(events.sparkSession)
+    has_watermark = "EventTimeWatermark" in str(
+        events._jdf.queryExecution().analyzed()
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _zs_update,
         outputStructType=ZS_OUTPUT_SCHEMA,
         stateStructType=ZS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if has_watermark
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -41,13 +41,14 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-8 window shift (README §Rotation): exposed names are the
-    # canonical catalog names, but insertion order puts q51..q100
-    # FIRST so the driver's 50-entry correctness window covers the
-    # round-7 additions q93-q95, the refactored q85, and the round-8
-    # additions q96-q100. Each block is in NUMERIC query order
+    # Round-9 window shift (README §Rotation): exposed names are the
+    # canonical catalog names, but insertion order puts q59..q108
+    # FIRST so the driver's 50-entry correctness window earns the
+    # first-ever driver rows for q101-q108 (landed after the round-8
+    # window was fixed). Each block is in NUMERIC query order
     # (lexicographic would slot q100 between q10 and q11 and silently
-    # evict the window tail). No aNN aliases.
+    # evict the window tail). No aNN aliases. Round-9 additions
+    # (q109+) sort after the window and the q01..q58 tail.
     # The sort key is the entry module's own (one source of truth);
     # the window invariant is asserted independently below.
     import re as _re
@@ -61,13 +62,14 @@ def test_entry_contract(spark):
     bad = [n for n, m in matches.items() if m is None]
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
-    top = mod._WINDOW_START
-    window = [n for n in nums if n >= top]
-    rest = [n for n in nums if n < top]
+    top, end = mod._WINDOW_START, mod._WINDOW_END
+    window = [n for n in nums if top <= n <= end]
+    rest = [n for n in nums if not (top <= n <= end)]
     assert nums[: len(window)] == sorted(window), "window block not numeric-ordered"
     assert nums[len(window):] == sorted(rest), "tail block not numeric-ordered"
     # Driver records the FIRST 50 entries: they must be exactly the
-    # window q51..q100 this round (≥50 catalog members above the start).
+    # window q59..q108 this round (the window is a BOUNDED range so
+    # round-9 additions q109+ cannot silently evict its tail).
     assert nums[:50] == list(range(top, top + 50)), (
         f"driver window is not q{top}..q{top + 49}"
     )
