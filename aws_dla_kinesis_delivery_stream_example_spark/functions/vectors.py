@@ -58,3 +58,37 @@ def sign_bucket(a, n_bits: int = 3) -> Column:
     for i in range(1, n_bits + 1):
         bucket = bucket + F.when(F.element_at(a, i) > 0, F.lit(2 ** (n_bits - i))).otherwise(F.lit(0))
     return bucket
+
+
+def int8_quantize(a) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(a_i * 127 /
+    max|a|) — array<int> in [-127, 127]. NULL for the zero vector
+    (nullif on the scale denominator: ANSI Spark would throw on the
+    division, DuckDB yields NULL; the FIXTURES.md zero-denominator
+    rule, same as ``cosine``).
+
+    Both engines compute the identical double expression then round
+    half-away-from-zero (Spark HALF_UP == DuckDB round for doubles),
+    so quantized vectors are bit-equal cross-engine — which makes the
+    INTEGER dot products downstream exactly comparable, the property
+    float cosines only approximate. 4x memory cut per vector is the
+    100 TB point: an int8 corpus matrix holds 4x more vectors per
+    executor page, and the scoring hot loop is integer multiply-add.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    maxabs = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale, 0).cast("int"))
+
+
+def qdot(a, b) -> Column:
+    """Exact BIGINT dot product of two int8-quantized vectors — the
+    integer analog of ``dot``; summation-order-independent, so AQE
+    re-planning and engine choice cannot move the result."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -502,3 +502,70 @@ def source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Per-source shingle NOVELTY audit: treating ``id_col`` order as
+    crawl order, a doc's shingle is *novel* iff this doc is the
+    shingle's globally first occurrence (min doc id over the corpus).
+    A source whose novelty ratio collapses is re-crawling content the
+    corpus already holds — the signal that decides when additional
+    crawling stops buying training data (the q102 composition report's
+    temporal cousin).
+
+    Returns one row per source:
+    (source, n_docs, n_shingles, n_novel, novelty_ratio).
+
+    Scale shape — two hash aggs, ZERO shingle-table joins:
+    1. distinct (doc, shingle-60-bit-hash) rows (dedup house base);
+    2. first occurrence = min(doc) per hash — map-side-combinable,
+       skew-immune (a boilerplate shingle in millions of docs folds to
+       one min per task);
+    3. novel-per-doc needs NO join back: regroup the firsts frame
+       (shingle-distinct-sized) BY ITS OWN min-doc column — count =
+       how many shingles this doc introduced;
+    4. per-doc shingle counts and the novel counts then join the
+       node-sized documents frame and aggregate by source (~tens of
+       rows).
+    The doc->source attach joins frames bounded by |docs|, never by
+    |shingle rows|.
+    """
+    from .dedup import _shingle_hash_rows
+
+    sh = stage(
+        _shingle_hash_rows(docs, id_col, text_col, n)
+    )  # caller releases via staging.release_staging()
+    per_doc = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    novel_per_doc = (
+        sh.groupBy("h")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    base = docs.select(F.col(id_col).alias("doc"), F.col(source_col).alias("source"))
+    joined = base.join(per_doc, "doc", "left").join(novel_per_doc, "doc", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_sh"), F.lit(0))).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+                4,
+            ).alias("novelty_ratio"),
+        )
+    )

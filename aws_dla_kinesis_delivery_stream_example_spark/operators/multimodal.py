@@ -208,3 +208,126 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "uri", "frame_ms")
     )
+
+
+# ---------------------------------------------------------------------
+# Audio windowing (round 9): synthesize -> REAL PCM-16 WAV round-trip
+# -> frame-level integer energy features.
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("total_energy", T.LongType(), False),
+        T.StructField("peak_frame_energy", T.LongType(), False),
+        T.StructField("n_silent", T.LongType(), False),
+    ]
+)
+
+# closed-form synthetic waveform: sample i of doc d is
+#   v(d, i) = ((d*31 + i*7) mod 201) - 100
+# — int16-ranged, deterministic, and recomputable by a SQL oracle
+# WITHOUT decoding bytes, which is what makes the binary round-trip
+# (encode_wav -> decode_wav) exactly checkable end-to-end.
+_AUD_A, _AUD_B, _AUD_M, _AUD_C = 31, 7, 201, 100
+
+
+def synthesize_audio(documents: DataFrame, rate: int = 16000) -> DataFrame:
+    """Deterministic fake audio table: one PCM-16 mono WAV payload per
+    document, ``n_chars`` samples of the closed-form waveform above.
+    The synthesis itself is Arrow-batched numpy (vectorized per
+    document); payloads are REAL RIFF/WAVE bytes, so everything
+    downstream exercises the true decode path."""
+    import numpy as np
+
+    from . import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = np.arange(int(n), dtype=np.int64)
+                v = (int(d) * _AUD_A + i * _AUD_B) % _AUD_M - _AUD_C
+                payloads.append(codecs.encode_wav(v.astype("<i2")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    ensure_shipped(documents.sparkSession)
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        run, schema="media_id long, media_type string, payload binary"
+    )
+
+
+def audio_frame_energy(
+    media: DataFrame, frame_samples: int = 256, silence_energy_per_sample: int = 100
+) -> DataFrame:
+    """Frame-level energy features over PCM-16 WAV payloads: split each
+    clip into non-overlapping ``frame_samples``-sample frames (last
+    frame ragged) and compute EXACT integer energies — per media:
+    (n_samples, n_frames, total_energy, peak_frame_energy, n_silent)
+    where energy = sum of squared int16 samples (fits int64: 2^30 per
+    sample x frame length) and a frame is silent iff its energy <
+    silence_energy_per_sample * its length.
+
+    Integer energies, not float RMS, for the same reason as the q105
+    milli-unit lattice: float sums are accumulation-order-dependent;
+    the integer grid makes stream/batch/oracle agree exactly.
+
+    Scale shape: one Arrow-batched mapInPandas pass — each worker
+    decodes its batch with numpy (frombuffer + reshape, no Python
+    per-sample loop), emits ONE narrow row per clip, and the shuffle
+    that follows (if any) carries 6 longs per clip, never audio bytes.
+    Malformed/non-WAV payloads yield a zero-sample row rather than
+    failing the job (the _decode digest-fallback convention).
+    """
+    import numpy as np
+
+    from . import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "n_frames",
+                                   "total_energy", "peak_frame_energy", "n_silent")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, samples = codecs.decode_wav(bytes(payload or b""))
+                    # decode_wav scales by /32768 (exact in float32);
+                    # multiply back for the exact int16 values
+                    v = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+                except ValueError:
+                    v = np.zeros(0, dtype=np.int64)
+                n = len(v)
+                if n:
+                    pad = (-n) % frame_samples
+                    sq = np.pad(v * v, (0, pad))
+                    frames = sq.reshape(-1, frame_samples)
+                    energies = frames.sum(axis=1)
+                    lens = np.full(len(frames), frame_samples, dtype=np.int64)
+                    if pad:
+                        lens[-1] = frame_samples - pad
+                    n_frames = len(frames)
+                    total = int(energies.sum())
+                    peak = int(energies.max())
+                    n_silent = int(
+                        (energies < silence_energy_per_sample * lens).sum()
+                    )
+                else:
+                    n_frames, total, peak, n_silent = 0, 0, 0, 0
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["n_frames"].append(n_frames)
+                out["total_energy"].append(total)
+                out["peak_frame_energy"].append(peak)
+                out["n_silent"].append(n_silent)
+            yield pd.DataFrame(out)
+
+    ensure_shipped(media.sparkSession)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )

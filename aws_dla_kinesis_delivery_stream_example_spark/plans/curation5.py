@@ -1,0 +1,266 @@
+"""Round-9 batch (q109-q112): corpus novelty auditing, int8-quantized
+ANN, audio frame analysis, and count-min heavy hitters — the four
+remaining pillars of the 100 TB curation surface: "is new crawl data
+actually new", "score embeddings at 4x density", "window binary audio
+without shipping bytes", and "token frequencies in constant memory".
+
+Conventions follow catalog.py: identical column aliases both sides,
+total ORDER BY, BIGINT casts on integer aggregates, integer lattices
+wherever a double would be off-grid between engines. 100 TB notes per
+query live in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import vectors as VEC
+from ..operators import curation, multimodal, sketch
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "q109_shingle_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        -- the operator aggregates 60-bit shingle hashes; the oracle the
+        -- shingle STRINGS — equivalent up to md5-prefix collisions (the
+        -- q99 convention)
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(tk, i, i + 4), ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+        ),
+        per_doc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        novel_per_doc AS (
+            SELECT doc_id, count(*) AS n_novel FROM (
+                SELECT min(doc_id) AS doc_id FROM sh GROUP BY shingle
+            ) GROUP BY doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(p.n_sh, 0)) AS BIGINT) AS n_shingles,
+               CAST(sum(coalesce(v.n_novel, 0)) AS BIGINT) AS n_novel,
+               round(CAST(sum(coalesce(v.n_novel, 0)) AS DOUBLE)
+                     / nullif(sum(coalesce(p.n_sh, 0)), 0), 4) AS novelty_ratio
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN novel_per_doc v USING (doc_id)
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    description="Per-source shingle novelty audit: treating doc_id as "
+    "crawl order, which share of each source's word-5-gram shingles is "
+    "globally NEW (first occurrence) — the diminishing-returns curve "
+    "that decides when more crawling stops buying training data",
+    tags=("llm", "curation", "dedup", "audit"),
+)
+def q109_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (operators/curation.py::shingle_novelty): two hash
+    aggs and zero shingle-table joins — first-occurrence is a
+    skew-immune min-agg per hash, and novel-per-doc regroups the
+    firsts frame by its own min column instead of joining the corpus-
+    sized shingle table back; only |docs|-sized frames are ever
+    joined. The oracle's window-free formulation mirrors the same
+    two-level grouping."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.shingle_novelty(docs, "doc_id", "text", "source", n=5).orderBy(
+        "source"
+    )
+
+
+# q110 blocking geometry: 3 sign bits = 8 buckets (the q100 convention)
+_Q110_BITS = 3
+_Q110_K = 3
+
+
+@query(
+    "q110_quantized_ann",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+                     + CAST(embedding[3] > 0 AS INT) AS bucket,
+                   list_transform(embedding, x ->
+                       CAST(round(CAST(x AS DOUBLE) * 127 /
+                            nullif(list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))), 0)) AS BIGINT)
+                   ) AS qv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT n.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(generate_series(1, len(n.qv)),
+                        i -> n.qv[i] * c.qv[i])) AS BIGINT) AS qdot
+            FROM q n JOIN q c ON n.bucket = c.bucket
+            WHERE n.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+        ),
+        ranked AS (
+            SELECT probe_id, neighbor_id, qdot,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY qdot DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot
+        FROM ranked WHERE rnk <= {_Q110_K}
+        ORDER BY probe_id, rnk
+    """,
+    description="Int8-quantized ANN: symmetric per-vector int8 "
+    "quantization (round(x*127/max|x|)), EXACT BIGINT dot products, "
+    "sign-bucket blocking, top-3 neighbors per probe (odd ids) from "
+    "the corpus (even ids) — the 4x-denser scoring path whose integer "
+    "arithmetic is bit-equal across engines, unlike float cosine",
+    tags=("llm", "similarity", "quantization"),
+)
+def q110_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: quantization is a narrow JVM-side transform (the
+    int8 corpus is what a 100 TB deployment PERSISTS — 4x more vectors
+    per executor page); candidates come from the sign-bucket equi-join
+    (q100's blocking — never a cross join), scoring is the exact
+    integer ``qdot`` fold (summation-order-independent => AQE-invariant,
+    the q107 lattice argument), and the top-3 window partitions by
+    probe within its bucket-bounded candidate set. Zero-norm vectors
+    quantize to NULL and drop out identically on both engines
+    (FIXTURES.md zero-denominator rule)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        VEC.sign_bucket("embedding", _Q110_BITS).alias("bucket"),
+        VEC.int8_quantize("embedding").alias("qv"),
+    )
+    probes = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("probe_id"), "bucket", F.col("qv").alias("qa")
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("neighbor_id"), "bucket", F.col("qv").alias("qb")
+    )
+    scored = probes.join(corpus, "bucket").select(
+        "probe_id", "neighbor_id", VEC.qdot("qa", "qb").alias("qdot")
+    )
+    win = W.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= _Q110_K)
+        .select("probe_id", "rnk", "neighbor_id", "qdot")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+# q111 frame geometry: 256-sample frames; silence below 100 avg sq.
+_Q111_FRAME = 256
+_Q111_SILENCE = 100
+
+
+@query(
+    "q111_audio_frame_energy",
+    oracle=f"""
+        WITH samples AS (
+            SELECT doc_id, i // {_Q111_FRAME} AS frame,
+                   (doc_id * 31 + i * 7) % 201 - 100 AS v
+            FROM documents, UNNEST(generate_series(0, n_chars - 1)) AS t(i)
+            WHERE n_chars > 0
+        ),
+        frames AS (
+            SELECT doc_id, frame, sum(v * v) AS energy, count(*) AS flen
+            FROM samples GROUP BY doc_id, frame
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(energy) AS BIGINT) AS total_energy,
+                   CAST(max(energy) AS BIGINT) AS peak_frame_energy,
+                   CAST(sum(CAST(energy < {_Q111_SILENCE} * flen AS INT)) AS BIGINT)
+                       AS n_silent
+            FROM frames GROUP BY doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.n_chars AS BIGINT) AS n_samples,
+               coalesce(a.n_frames, 0) AS n_frames,
+               coalesce(a.total_energy, 0) AS total_energy,
+               coalesce(a.peak_frame_energy, 0) AS peak_frame_energy,
+               coalesce(a.n_silent, 0) AS n_silent
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY media_id
+    """,
+    description="Audio frame analysis over REAL PCM-16 WAV payloads "
+    "(synthesized closed-form waveform, genuine RIFF encode->decode "
+    "round-trip): 256-sample frames, exact integer energies, silence "
+    "detection — per clip (n_samples, n_frames, total/peak energy, "
+    "n_silent); the oracle recomputes from the closed form without "
+    "touching bytes, pinning the whole binary path",
+    tags=("llm", "multimodal", "audio"),
+)
+def q111_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE Arrow-batched mapInPandas pass — each worker
+    decodes its batch with numpy (frombuffer/reshape, no per-sample
+    Python), emits 6 longs per clip; audio bytes never cross a
+    shuffle. Integer energies (not float RMS) keep stream/batch/
+    oracle on the same lattice (the q105 argument). The synthesized
+    payloads are real RIFF/WAVE files, so codecs.decode_wav's chunk
+    walk runs for every row — the oracle's closed-form recomputation
+    means any byte-level encode/decode drift fails the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = multimodal.synthesize_audio(docs)
+    return multimodal.audio_frame_energy(
+        audio, frame_samples=_Q111_FRAME, silence_energy_per_sample=_Q111_SILENCE
+    ).orderBy("media_id")
+
+
+@query(
+    "q112_countmin_heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        ),
+        keyed AS (
+            SELECT r.r,
+                   CAST('0x' || substring(md5(r.r || ':' || token), 1, 15) AS BIGINT)
+                       % {sketch.CMS_WIDTH} AS bucket
+            FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {sketch.CMS_DEPTH - 1})) AS r) r
+        ),
+        counters AS (
+            SELECT r, bucket, count(*) AS cnt FROM keyed GROUP BY r, bucket
+        ),
+        top AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+            FROM tok GROUP BY token
+            ORDER BY exact_n DESC, token LIMIT 20
+        ),
+        probes AS (
+            SELECT token, exact_n, r.r,
+                   CAST('0x' || substring(md5(r.r || ':' || token), 1, 15) AS BIGINT)
+                       % {sketch.CMS_WIDTH} AS bucket
+            FROM top CROSS JOIN (SELECT unnest(generate_series(0, {sketch.CMS_DEPTH - 1})) AS r) r
+        )
+        SELECT p.token, p.exact_n,
+               CAST(min(c.cnt) AS BIGINT) AS cms_est,
+               min(c.cnt) >= p.exact_n AS overestimate_ok
+        FROM probes p JOIN counters c USING (r, bucket)
+        GROUP BY p.token, p.exact_n
+        ORDER BY p.exact_n DESC, p.token
+    """,
+    description="Count-min-sketch heavy hitters: a 4x1024 counter grid "
+    "(constant memory at any corpus size) built from the portable "
+    "60-bit hash, probed for the exact top-20 tokens — estimate, exact "
+    "count, and the one-sided CMS soundness verdict per token; fully "
+    "deterministic, so the sketch itself is hash-oracle-checked, not "
+    "just epsilon-bounded",
+    tags=("llm", "sketch", "text"),
+)
+def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (operators/sketch.py): the grid build partial-
+    aggregates to <= d*w counters per task BEFORE the shuffle (the
+    mergeable-summary property — daily shards sketch independently
+    and union-fold), and the probe side joins k*d rows against the
+    BROADCAST 4096-row grid. The exact top-20 exists to audit the
+    sketch at test scale; its global sort is a TakeOrdered(20), never
+    a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.countmin_heavy_hitters(docs, "text", k=20)

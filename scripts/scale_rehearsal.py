@@ -737,12 +737,37 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # q104 weighted sampling: two bounded windows — the curve to
+        # watch is the stage-1 shuffled volume (candidates := corpus
+        # rows entering the salted rank), which must stay linear while
+        # the OUTPUT stays k x |strata| x const. Wall per tier recorded.
+        n_sample_out, row["sampling_sec"] = timed(
+            lambda: specs["q104_weighted_sample"].spark(spark, sf_dir).count()
+        )
+        row["sampling_candidates"] = row["n_docs"]
+        row["sampling_output_rows"] = n_sample_out
+        release_staging()
+        spark.catalog.clearCache()
+
         if os.path.exists(os.path.join(sf_dir, "events.parquet")):
             row["n_events"] = load_table(spark, sf_dir, "events").count()
             n_out, row["zscore_sec"] = timed(
                 lambda: specs["q105_rolling_zscore"].spark(spark, sf_dir).count()
             )
             row["zscore_candidates"] = n_out
+            # q108 streaming twin: REAL applyInPandasWithState drain
+            # over the same events (RocksDB state store). Candidates :=
+            # flagged rows — must equal the batch q105 count (hash
+            # parity is the catalog's gate; the rehearsal pins the
+            # count and curves the drain wall, whose state is
+            # |users| x 20 BIGINTs at every tier).
+            n_sout, row["zstream_sec"] = timed(
+                lambda: specs["q108_streaming_zscore"].spark(spark, sf_dir).count()
+            )
+            row["zstream_candidates"] = n_sout
+            row["zstream_equals_batch"] = n_sout == n_out
+            release_staging()
+            spark.catalog.clearCache()
 
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
@@ -757,7 +782,7 @@ def main() -> None:
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
-        "rewrite", "srcoverlap", "pagerank",
+        "rewrite", "srcoverlap", "pagerank", "sampling",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
@@ -775,6 +800,19 @@ def main() -> None:
         )
         summary["zscore_time_ratio"] = round(
             zhi["zscore_sec"] / max(zlo["zscore_sec"], 0.01), 1
+        )
+    if "zstream_candidates" in zlo and "zstream_candidates" in zhi:
+        zgrowth = math.log10(max(zhi["n_events"], 1) / max(zlo["n_events"], 1))
+        summary["zstream_candidate_exponent"] = round(
+            math.log10(
+                max(zhi["zstream_candidates"], 1) / max(zlo["zstream_candidates"], 1)
+            ) / zgrowth, 2
+        )
+        summary["zstream_time_ratio"] = round(
+            zhi["zstream_sec"] / max(zlo["zstream_sec"], 0.01), 1
+        )
+        summary["zstream_equals_batch_all_tiers"] = all(
+            results[sf].get("zstream_equals_batch", True) for sf, _ in SFS
         )
     print("SCALESUMMARY " + json.dumps(summary), flush=True)
 

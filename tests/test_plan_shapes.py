@@ -166,6 +166,33 @@ def test_round8_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges above staging (budget {budget})"
 
 
+def test_round9_exchange_budgets(spark):
+    """Round-9 additions (q109-q112), tree-walk budgets (staged
+    subtrees excluded), measured + 1 headroom for AQE join swaps."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # per-doc agg + firsts agg + regroup + 2 doc-sized joins +
+        # source agg + sort over the staged shingle frame (measured 7)
+        ("q109_shingle_novelty", 8),
+        # bucket equi-join + probe window + sort (measured 3)
+        ("q110_quantized_ann", 4),
+        # ONE mapInPandas pass; only the catalog sort shuffles
+        ("q111_audio_frame_energy", 2),
+        # grid agg + exact top-k TakeOrdered + probe bcast join +
+        # min-agg (measured 3; the counter grid join must broadcast)
+        ("q112_countmin_heavy_hitters", 4),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges above staging (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""
