@@ -733,3 +733,67 @@ def simhash_near_duplicates(
         F.lit(0).cast("int").alias("hamming"),
     )
     return cross.unionByName(same)
+
+
+def minhash_calibration_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Estimator-quality audit: how well do the MinHash(64)+LSH(16)
+    candidates (q27) track the EXACT-Jaccard >= threshold truth set
+    (cap-free q26)? One summary row:
+
+    (n_truth, n_candidates, n_hit, recall_milli, precision_milli,
+     mean_est_err_milli, max_est_err_milli)
+
+    where hit = candidate pair that is also a truth pair, and the est
+    error compares the signature estimate against the exact Jaccard on
+    the hit pairs, in integer milli-units (per-pair rounding BEFORE the
+    mean keeps the aggregate off float summation order — the q105
+    lattice rule).
+
+    This is the 'measure, don't guess' loop as a first-class operator:
+    at 100 TB one runs it on a sampled stratum to pick bands/hashes
+    before committing the full dedup job. Cost = the two candidate
+    generators it audits; the join of their outputs is pair-set-sized.
+    """
+    truth = shingle_jaccard_pairs(
+        docs, id_col, text_col, threshold=threshold, max_df=None
+    ).select("doc_a", "doc_b", F.round(F.col("jaccard") * 1000, 0).cast("long").alias("ej_exact_milli"))
+    cand = minhash_near_duplicates(
+        docs, id_col, text_col, threshold=threshold
+    ).select(
+        "doc_a", "doc_b",
+        F.round(F.col("est_jaccard") * 1000, 0).cast("long").alias("ej_est_milli"),
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    hit = F.col("ej_exact_milli").isNotNull() & F.col("ej_est_milli").isNotNull()
+    err = F.abs(F.col("ej_est_milli") - F.col("ej_exact_milli"))
+    # ONE aggregation pass: the error stats are conditional aggregates
+    # over the hit pairs, not a second derivation of the (expensive)
+    # candidate-generator join
+    return j.agg(
+        F.count("ej_exact_milli").cast("long").alias("n_truth"),
+        F.count("ej_est_milli").cast("long").alias("n_candidates"),
+        F.count(F.when(hit, 1)).cast("long").alias("n_hit"),
+        F.sum(F.when(hit, err)).alias("_err_sum"),
+        F.max(F.when(hit, err)).alias("_err_max"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") * 1000.0 / F.nullif(F.col("n_truth"), F.lit(0)), 0)
+        .cast("long")
+        .alias("recall_milli"),
+        F.round(
+            F.col("n_hit") * 1000.0 / F.nullif(F.col("n_candidates"), F.lit(0)), 0
+        )
+        .cast("long")
+        .alias("precision_milli"),
+        F.round(
+            F.col("_err_sum") / F.nullif(F.col("n_hit"), F.lit(0)).cast("double"), 2
+        ).alias("mean_est_err_milli"),
+        F.coalesce(F.col("_err_max"), F.lit(0)).cast("long").alias("max_est_err_milli"),
+    )

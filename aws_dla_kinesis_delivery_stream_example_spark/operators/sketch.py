@@ -64,38 +64,33 @@ def countmin_counters(
     return keyed.groupBy("r", "bucket").agg(F.count("*").cast("long").alias("cnt"))
 
 
-def countmin_heavy_hitters(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 20,
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
+def exact_top_tokens(
+    docs: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:
-    """Top-k tokens by exact count, each carrying its count-min
-    ESTIMATE (min over the d rows of the token's counters) and the
-    CMS soundness verdict. Returns (token, exact_n, cms_est,
-    overestimate_ok) ordered by (exact_n desc, token).
-
-    exact_n is computed alongside to *audit* the sketch at test scale;
-    at 100 TB one keeps only the sketch (constant memory) plus a
-    candidate stream, and this operator's estimate join is how
-    candidates are scored: the k candidate tokens explode to d
-    (r, bucket) probes which join the BROADCAST counter grid (d*w
-    rows) — no corpus-sized side is ever re-touched.
-
-    ``overestimate_ok`` asserts the one-sided CMS error bound
-    (est >= exact, always true by construction — a FALSE row means the
-    hash plumbing diverged between build and probe).
-    """
-    counters = countmin_counters(docs, text_col, depth, width)
+    """Exact top-k tokens by count — (token, exact_n), total order
+    (count desc, token asc). A TakeOrdered(k), never a full sort."""
     tok = docs.select(F.explode(TX.words(text_col)).alias("token"))
-    top = (
+    return (
         tok.groupBy("token")
         .agg(F.count("*").cast("long").alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("token"))
         .limit(k)
     )
-    probes = top.select(
+
+
+def countmin_probe(
+    counters: DataFrame,
+    candidates: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Score candidate tokens against a counter grid: each candidate
+    explodes to its ``depth`` (r, bucket) probes, joins the BROADCAST
+    grid, and takes the min — (token, exact_n, cms_est,
+    overestimate_ok). Shared by the batch (q112) and streaming (q113)
+    faces, so 'stream state == batch sketch' is checked through the
+    identical probe path."""
+    probes = candidates.select(
         "token",
         "exact_n",
         F.explode(
@@ -121,3 +116,31 @@ def countmin_heavy_hitters(
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("overestimate_ok"),
     ).orderBy(F.desc("exact_n"), F.asc("token"))
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k tokens by exact count, each carrying its count-min
+    ESTIMATE (min over the d rows of the token's counters) and the
+    CMS soundness verdict. Returns (token, exact_n, cms_est,
+    overestimate_ok) ordered by (exact_n desc, token).
+
+    exact_n is computed alongside to *audit* the sketch at test scale;
+    at 100 TB one keeps only the sketch (constant memory) plus a
+    candidate stream, and this operator's estimate join is how
+    candidates are scored: the k candidate tokens explode to d
+    (r, bucket) probes which join the BROADCAST counter grid (d*w
+    rows) — no corpus-sized side is ever re-touched.
+
+    ``overestimate_ok`` asserts the one-sided CMS error bound
+    (est >= exact, always true by construction — a FALSE row means the
+    hash plumbing diverged between build and probe).
+    """
+    counters = countmin_counters(docs, text_col, depth, width)
+    top = exact_top_tokens(docs, text_col, k)
+    return countmin_probe(counters, top, depth, width)

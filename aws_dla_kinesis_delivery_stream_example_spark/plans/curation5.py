@@ -1,8 +1,11 @@
-"""Round-9 batch (q109-q112): corpus novelty auditing, int8-quantized
-ANN, audio frame analysis, and count-min heavy hitters — the four
-remaining pillars of the 100 TB curation surface: "is new crawl data
-actually new", "score embeddings at 4x density", "window binary audio
-without shipping bytes", and "token frequencies in constant memory".
+"""Round-9 batch (q109-q112, q114): corpus novelty auditing,
+int8-quantized ANN, audio frame analysis, count-min heavy hitters,
+and the MinHash estimator-calibration report — the remaining pillars
+of the 100 TB curation surface: "is new crawl data actually new",
+"score embeddings at 4x density", "window binary audio without
+shipping bytes", "token frequencies in constant memory", and "audit
+the estimator before trusting it" (q113, the streaming sketch twin,
+lives with the streaming family in streaming_q.py).
 
 Conventions follow catalog.py: identical column aliases both sides,
 total ORDER BY, BIGINT casts on integer aggregates, integer lattices
@@ -264,3 +267,119 @@ def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full sort."""
     docs = load_table(spark, sf_dir, "documents")
     return sketch.countmin_heavy_hitters(docs, "text", k=20)
+
+
+@query(
+    "q114_minhash_calibration",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        -- exact-Jaccard truth over DISTINCT word-5-gram shingles (the
+        -- cap-free q26 semantics; strings vs 60-bit hashes, the q99
+        -- collision convention)
+        tsh AS (
+            SELECT DISTINCT doc_id AS doc, array_to_string(tk[i:i+4], ' ') AS s
+            FROM w, UNNEST(generate_series(1, len(tk) - 4)) AS t(i)
+            WHERE len(tk) >= 5
+        ),
+        sizes AS (SELECT doc, count(*) AS n FROM tsh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+            FROM tsh a JOIN tsh b ON a.s = b.s AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b,
+                   CAST(round(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                       AS ej_exact_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        -- the q27 MinHash(64)+LSH(16) candidate pipeline, verbatim
+        sh AS (
+            SELECT DISTINCT doc_id AS doc,
+                   CAST('0x' || substring(md5(array_to_string(tk[i:i+4], ' ')), 1, 15)
+                        AS BIGINT) % 2147483647 AS h
+            FROM w, UNNEST(generate_series(1, len(tk) - 4)) AS t(i)
+            WHERE len(tk) >= 5
+        ),
+        mh AS (
+            SELECT doc, k,
+                   min(((2*k + 1) * h + 1000003 * (k + 1)) % 2147483647) AS v
+            FROM sh, UNNEST(generate_series(0, 63)) AS tt(k)
+            GROUP BY doc, k
+        ),
+        sig AS (SELECT doc, list(v ORDER BY k) AS s FROM mh GROUP BY doc),
+        bands AS (
+            SELECT doc, b, s[b*4 + 1 : b*4 + 4] AS bv
+            FROM sig, UNNEST(generate_series(0, 15)) AS bb(b)
+        ),
+        bcand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bv = b.bv AND a.doc < b.doc
+        ),
+        cand AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(round(1000.0 * list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(sa.s[i] = sb.s[i] AS INT))) / 64.0) AS BIGINT)
+                       AS ej_est_milli
+            FROM bcand c
+            JOIN sig sa ON sa.doc = c.doc_a
+            JOIN sig sb ON sb.doc = c.doc_b
+            WHERE list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(sa.s[i] = sb.s[i] AS INT))) / 64.0 >= 0.5
+        ),
+        j AS (
+            SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+                   t.ej_exact_milli, c.ej_est_milli
+            FROM truth t FULL OUTER JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        )
+        SELECT CAST(count(ej_exact_milli) AS BIGINT) AS n_truth,
+               CAST(count(ej_est_milli) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (ej_exact_milli IS NOT NULL
+                                     AND ej_est_milli IS NOT NULL) AS BIGINT) AS n_hit,
+               CAST(round(1000.0 * count(*) FILTER (ej_exact_milli IS NOT NULL
+                                                    AND ej_est_milli IS NOT NULL)
+                    / nullif(count(ej_exact_milli), 0)) AS BIGINT) AS recall_milli,
+               CAST(round(1000.0 * count(*) FILTER (ej_exact_milli IS NOT NULL
+                                                    AND ej_est_milli IS NOT NULL)
+                    / nullif(count(ej_est_milli), 0)) AS BIGINT) AS precision_milli,
+               round(CAST(sum(abs(ej_est_milli - ej_exact_milli))
+                              FILTER (ej_exact_milli IS NOT NULL
+                                      AND ej_est_milli IS NOT NULL) AS DOUBLE)
+                    / nullif(count(*) FILTER (ej_exact_milli IS NOT NULL
+                                              AND ej_est_milli IS NOT NULL), 0), 2)
+                   AS mean_est_err_milli,
+               CAST(coalesce(max(abs(ej_est_milli - ej_exact_milli))
+                                 FILTER (ej_exact_milli IS NOT NULL
+                                         AND ej_est_milli IS NOT NULL), 0) AS BIGINT)
+                   AS max_est_err_milli
+        FROM j
+    """,
+    description="MinHash estimator calibration report: the q27 LSH "
+    "candidate set audited against the cap-free exact-Jaccard truth "
+    "(q26 semantics) in ONE summary row — recall, precision, and the "
+    "signature-estimate error in integer milli-units; the 'measure, "
+    "don't guess' loop as a first-class catalog operator",
+    tags=("llm", "dedup", "audit"),
+)
+def q114_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: cost = the two candidate generators being audited
+    (each already 100 TB-shaped: banded LSH join, df-capped truth is
+    cap-FREE here but threshold-filtered); their outputs join pair-set
+    sized, and all seven stats fold in ONE conditional-aggregate pass
+    (no second derivation of either generator, no crossJoin). At
+    100 TB this runs on a sampled stratum to pick bands/hashes before
+    committing the full dedup job — sampling changes the input frame,
+    not this plan. Per-pair milli-unit rounding BEFORE the mean keeps
+    the error aggregate off float summation order (the q105 rule)."""
+    from ..operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_calibration_report(docs, "doc_id", "text", threshold=0.5)

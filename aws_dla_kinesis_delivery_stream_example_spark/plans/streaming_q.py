@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import sketch as _SK
 from ..sources.tables import normalize_event_time
 from ..streaming import windows as SW
 from .catalog import query
@@ -439,3 +440,68 @@ def q108_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("event_id", "user_id", "v_milli", F.round("z", 3).alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q113_streaming_countmin",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        ),
+        keyed AS (
+            SELECT r.r,
+                   CAST('0x' || substring(md5(r.r || ':' || token), 1, 15) AS BIGINT)
+                       % {_SK.CMS_WIDTH} AS bucket
+            FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {_SK.CMS_DEPTH - 1})) AS r) r
+        ),
+        counters AS (
+            SELECT r, bucket, count(*) AS cnt FROM keyed GROUP BY r, bucket
+        ),
+        top AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+            FROM tok GROUP BY token
+            ORDER BY exact_n DESC, token LIMIT 20
+        ),
+        probes AS (
+            SELECT token, exact_n, r.r,
+                   CAST('0x' || substring(md5(r.r || ':' || token), 1, 15) AS BIGINT)
+                       % {_SK.CMS_WIDTH} AS bucket
+            FROM top CROSS JOIN (SELECT unnest(generate_series(0, {_SK.CMS_DEPTH - 1})) AS r) r
+        )
+        SELECT p.token, p.exact_n,
+               CAST(min(c.cnt) AS BIGINT) AS cms_est,
+               min(c.cnt) >= p.exact_n AS overestimate_ok
+        FROM probes p JOIN counters c USING (r, bucket)
+        GROUP BY p.token, p.exact_n
+        ORDER BY p.exact_n DESC, p.token
+    """,
+    description="STREAMING count-min sketch: the 4x1024 counter grid "
+    "maintained as streaming aggregation state over the documents "
+    "stream (complete mode, availableNow drain) — the grid the stream "
+    "leaves behind must equal the batch-built sketch bit-for-bit, "
+    "checked by probing it for the exact top-20 tokens through the "
+    "SAME probe path as q112 (identical oracle)",
+    tags=("streaming", "sketch", "llm"),
+)
+def q113_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-sketch claim made executable: CMS is a linear
+    (mergeable) summary, so streaming partial aggregation over any
+    micro-batch split must land on the identical grid — state is
+    <= d*w counter rows (CONSTANT at any corpus size, the smallest
+    state of any stateful query in the catalog; compare q51's
+    per-event-id dedup set). At 100 TB of ingest the sketch answers
+    frequency queries while exact token counts would hold |vocabulary|
+    state. Probing happens post-drain against the STREAM-built grid
+    (sketch.countmin_probe, shared with q112) — a drift anywhere in
+    the streaming build (hash plumbing, partial-agg merge, complete-
+    mode re-emission) lands in the hash gate, not just a row count."""
+    from ..operators import sketch as _sketch
+    from ..sources.tables import load_table as _load
+
+    def op(df):
+        return _sketch.countmin_counters(df, "text")
+
+    grid = _stream_documents_closed(spark, sf_dir, op, "complete")
+    top = _sketch.exact_top_tokens(_load(spark, sf_dir, "documents"), "text", 20)
+    return _sketch.countmin_probe(grid, top)

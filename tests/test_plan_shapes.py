@@ -184,6 +184,10 @@ def test_round9_exchange_budgets(spark):
         # grid agg + exact top-k TakeOrdered + probe bcast join +
         # min-agg (measured 3; the counter grid join must broadcast)
         ("q112_countmin_heavy_hitters", 4),
+        # composes BOTH audited candidate generators (cap-free truth
+        # jaccard + minhash LSH) + outer join + one conditional agg
+        # (measured 12; the generators dominate by design)
+        ("q114_minhash_calibration", 14),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

@@ -169,3 +169,82 @@ def test_countmin_counters_constant_size(spark):
     ).collect()[0]["n"]
     grid.unpersist()
     assert total == sketch.CMS_DEPTH * n_tokens
+
+
+def test_streaming_countmin_grid_equals_batch_across_batches(spark, tmp_path):
+    """The CMS is a linear (mergeable) summary: however the stream
+    splits the corpus into micro-batches, the final complete-mode grid
+    must equal the batch-built sketch EXACTLY. Three files drained with
+    maxFilesPerTrigger=1 force three incremental state merges."""
+    import os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        sketch.countmin_counters(stream, "text")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_grid")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.r, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_grid").collect()
+    }
+    want = {
+        (r.r, r.bucket): r.cnt
+        for r in sketch.countmin_counters(docs, "text").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------- q114
+
+
+def test_minhash_calibration_planted(spark):
+    """Two identical docs (exact Jaccard 1.0; every minhash matches so
+    the estimate is exactly 1.0) plus one unrelated doc: the report
+    must show 1 truth pair, 1 candidate, full recall/precision, zero
+    estimate error."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = dedup.minhash_calibration_report(df, "doc_id", "text").collect()
+    assert (r["n_truth"], r["n_candidates"], r["n_hit"]) == (1, 1, 1)
+    assert (r["recall_milli"], r["precision_milli"]) == (1000, 1000)
+    assert r["mean_est_err_milli"] == 0.0 and r["max_est_err_milli"] == 0
+
+
+def test_minhash_calibration_empty_corpus_is_all_null_safe(spark):
+    """No pairs anywhere: counts must be 0 (not NULL, not a crash from
+    0/0 — the nullif guards) and the error stats NULL/0."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "just one lonely document here today")], "doc_id long, text string"
+    )
+    [r] = dedup.minhash_calibration_report(df, "doc_id", "text").collect()
+    assert (r["n_truth"], r["n_candidates"], r["n_hit"]) == (0, 0, 0)
+    assert r["recall_milli"] is None and r["precision_milli"] is None
+    assert r["mean_est_err_milli"] is None and r["max_est_err_milli"] == 0
