@@ -737,6 +737,43 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # round-9 additions with a scale hazard to curve: q109 novelty
+        # (shingle-family — candidates := distinct (doc, shingle) rows
+        # feeding the firsts agg, must track corpus tokens ~linearly)
+        # and q110 quantized ANN (bucket-join family — candidates :=
+        # probe x corpus pairs through the shared sign bucket, the
+        # q100/crossdedup shape). q111/q112/q113 are linear single-pass
+        # or constant-state (no hazard); q114 composes two already-
+        # curved generators.
+        nov = specs["q109_shingle_novelty"].spark(spark, sf_dir).persist()
+        _, row["novelty_sec"] = timed(nov.count)
+        row["novelty_candidates"] = int(
+            nov.agg(F.sum("n_shingles")).collect()[0][0] or 0
+        )
+        nov.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            from aws_dla_kinesis_delivery_stream_example_spark.functions import (
+                vectors as _V,
+            )
+
+            embq = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", _V.sign_bucket("embedding", 3).alias("bucket")
+            )
+            qpairs = embq.filter(F.col("vec_id") % 2 == 1).join(
+                embq.filter(F.col("vec_id") % 2 == 0).withColumnRenamed(
+                    "vec_id", "nbr"
+                ),
+                "bucket",
+            )
+            row["quantann_candidates"], _qsec = timed(qpairs.count)
+            _, row["quantann_sec"] = timed(
+                lambda: specs["q110_quantized_ann"].spark(spark, sf_dir).count()
+            )
+            spark.catalog.clearCache()
+
         # q104 weighted sampling: two bounded windows — the curve to
         # watch is the stage-1 shuffled volume (candidates := corpus
         # rows entering the salted rank), which must stay linear while
@@ -782,11 +819,22 @@ def main() -> None:
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
-        "rewrite", "srcoverlap", "pagerank", "sampling",
+        "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
         summary[f"{op}_time_ratio"] = round(hi[f"{op}_sec"] / max(lo[f"{op}_sec"], 0.01), 1)
+    # q110's bucket-join curve needs embeddings on both endpoint tiers
+    # (present at the real SFs and the 10x synth tier, not the 100x)
+    if "quantann_candidates" in lo and "quantann_candidates" in hi:
+        c_lo = max(lo["quantann_candidates"], 1)
+        c_hi = max(hi["quantann_candidates"], 1)
+        summary["quantann_candidate_exponent"] = round(
+            math.log10(c_hi / c_lo) / growth, 2
+        )
+        summary["quantann_time_ratio"] = round(
+            hi["quantann_sec"] / max(lo["quantann_sec"], 0.01), 1
+        )
     # q105 runs on the real tiers only (no events in the synth tiers):
     # its exponent is computed over the events span, not documents
     zlo, zhi = results[SFS[0][0]], results[SFS[-1][0]]
