@@ -17,9 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
-from ..functions import vectors as VEC
 from ..operators import curation, multimodal, sketch
 from ..sources.tables import load_table
 from .catalog import query
@@ -123,36 +121,29 @@ _Q110_K = 3
     tags=("llm", "similarity", "quantization"),
 )
 def q110_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: quantization is a narrow JVM-side transform (the
-    int8 corpus is what a 100 TB deployment PERSISTS — 4x more vectors
-    per executor page); candidates come from the sign-bucket equi-join
-    (q100's blocking — never a cross join), scoring is the exact
-    integer ``qdot`` fold (summation-order-independent => AQE-invariant,
-    the q107 lattice argument), and the top-3 window partitions by
-    probe within its bucket-bounded candidate set. Zero-norm vectors
-    quantize to NULL and drop out identically on both engines
-    (FIXTURES.md zero-denominator rule)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        VEC.sign_bucket("embedding", _Q110_BITS).alias("bucket"),
-        VEC.int8_quantize("embedding").alias("qv"),
-    )
-    probes = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("probe_id"), "bucket", F.col("qv").alias("qa")
-    )
-    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("neighbor_id"), "bucket", F.col("qv").alias("qb")
-    )
-    scored = probes.join(corpus, "bucket").select(
-        "probe_id", "neighbor_id", VEC.qdot("qa", "qb").alias("qdot")
-    )
-    win = W.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
-        .filter(F.col("rnk") <= _Q110_K)
-        .select("probe_id", "rnk", "neighbor_id", "qdot")
-        .orderBy("probe_id", "rnk")
-    )
+    """Scale shape (operators/similarity.py::quantized_topk):
+    quantization is a narrow JVM-side transform (the int8 corpus is
+    what a 100 TB deployment PERSISTS — 4x more vectors per executor
+    page); each probe's candidates live entirely in its ONE sign
+    bucket (q100's blocking — never a cross join), so the top-3 is
+    computed inside a bucket-wise int64 numpy GEMM and only k rows
+    per probe cross the shuffle. The original declarative variant
+    (bucket equi-join + per-pair zip_with fold + window) was measured
+    98x slower at the 10x rehearsal tier (77 s over 12.5M bucket
+    pairs) — the per-pair interpreted HOF was the cost, not the
+    blocking; the GEMM keeps the identical exact-integer scores, so
+    the oracle is untouched. Zero-norm vectors quantize to NULL and
+    drop out identically on both engines (FIXTURES.md rule)."""
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(
+        emb,
+        probe_pred=F.col("vec_id") % 2 == 1,
+        corpus_pred=F.col("vec_id") % 2 == 0,
+        k=_Q110_K,
+        n_bits=_Q110_BITS,
+    ).orderBy("probe_id", "rnk")
 
 
 # q111 frame geometry: 256-sample frames; silence below 100 avg sq.

@@ -439,7 +439,19 @@ def main() -> None:
     tiers = list(SFS)
     if "--with-10x" in sys.argv:
         tiers.append(("1.0-synth", synthesize_10x(SFS[-1][1])))
-    spark = get_spark()
+    # Local-mode sizing for the long multi-tier run: driver == executor,
+    # so a long full-GC pause (measured 144 s during the 100x tier once
+    # the heap had churned through the whole sweep) can miss the default
+    # 10 s heartbeats past the 120 s network timeout — Spark then
+    # removes its own executor and every cached plan dies
+    # (CacheManager NPEs). Raise both; they are diagnostics knobs, not
+    # measurement inputs.
+    spark = get_spark(
+        extra_conf={
+            "spark.executor.heartbeatInterval": "60s",
+            "spark.network.timeout": "600s",
+        }
+    )
     results: dict[str, dict] = {}
     for sf, sf_dir in tiers:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -177,8 +177,9 @@ def test_round9_exchange_budgets(spark):
         # per-doc agg + firsts agg + regroup + 2 doc-sized joins +
         # source agg + sort over the staged shingle frame (measured 7)
         ("q109_shingle_novelty", 8),
-        # bucket equi-join + probe window + sort (measured 3)
-        ("q110_quantized_ann", 4),
+        # bucket hash partition -> applyInPandas GEMM -> sort
+        # (measured 2; the per-pair scoring never shuffles)
+        ("q110_quantized_ann", 3),
         # ONE mapInPandas pass; only the catalog sort shuffles
         ("q111_audio_frame_energy", 2),
         # grid agg + exact top-k TakeOrdered + probe bcast join +
