@@ -569,3 +569,153 @@ def shingle_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def fuzzy_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    max_dist_milli: int = 300,
+) -> DataFrame:
+    """Fuzzy decontamination: candidate docs within a NORMALIZED edit
+    distance of ``max_dist_milli``/1000 of any benchmark doc. Exact
+    n-gram decontamination (q64/q96) misses eval items that entered
+    the crawl with light reformatting — wrapped lines, shuffled
+    punctuation, inserted boilerplate; an edit-distance verify stage
+    behind an n-gram blocking stage catches those without ever
+    scoring the full cross product.
+
+    Two stages, the classic blocking+verification shape:
+    1. BLOCK: distinct (candidate, bench) pairs sharing >= 1 word-
+       ``n``-gram — the benchmark shingle set is tiny (eval suites are
+       KBs, corpora are TBs) and broadcast, so this is a map-side join
+       whose output is bounded by |bench shingle matches|, never
+       |cand| x |bench|.
+    2. VERIFY: levenshtein on the pair texts. O(len_a x len_b) per
+       pair — strictly the gated path; the block cap is what makes it
+       affordable. The gate is EXACT integer arithmetic
+       (1000*lev <= max_dist_milli * greatest(len_a, len_b, 1)), no
+       IEEE division anywhere.
+
+    Returns one row per contaminated candidate:
+    (id_col, n_blocked, n_fuzzy, best_lev_milli, best_bench) — best =
+    lexicographic struct min over gated pairs (deterministic ties).
+
+    Engine caveat (pinned by the ASCII fixture contract, FIXTURES.md):
+    Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES
+    — identical on ASCII, divergent on multi-byte code points. The
+    fixtures are ASCII-only (verified at all SFs); a unicode corpus
+    needs a normalization pass before the verify stage.
+    """
+    from .dedup import _shingle_hash_rows
+
+    bench_sh = (
+        _shingle_hash_rows(benchmark, id_col, text_col, n)
+        .select(F.col("doc").alias("_bid"), F.col("h").alias("shingle"))
+        .distinct()
+    )
+    cand_sh = _shingle_hash_rows(candidates, id_col, text_col, n).select(
+        F.col("doc").alias("_cid"), F.col("h").alias("shingle")
+    )
+    pairs = (
+        cand_sh.join(F.broadcast(bench_sh), "shingle")
+        .select("_cid", "_bid")
+        .distinct()
+    )
+    cand_txt = candidates.select(
+        F.col(id_col).alias("_cid"), F.col(text_col).alias("_ctext")
+    )
+    bench_txt = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(text_col).alias("_btext")
+    )
+    scored = (
+        pairs.join(cand_txt, "_cid")
+        .join(F.broadcast(bench_txt), "_bid")
+        .select(
+            "_cid",
+            "_bid",
+            F.levenshtein("_ctext", "_btext").cast("long").alias("_lev"),
+            F.greatest(
+                F.length("_ctext"), F.length("_btext"), F.lit(1)
+            )
+            .cast("long")
+            .alias("_mlen"),
+        )
+    )
+    gate = F.lit(1000) * F.col("_lev") <= F.lit(max_dist_milli) * F.col("_mlen")
+    lev_milli = F.expr("1000 * _lev div _mlen")
+    best = F.min(
+        F.when(gate, F.struct(lev_milli.alias("l"), F.col("_bid").alias("b")))
+    ).alias("_best")
+    return (
+        scored.groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocked"),
+            F.sum(gate.cast("long")).cast("long").alias("n_fuzzy"),
+            best,
+        )
+        .filter(F.col("n_fuzzy") >= 1)
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_blocked",
+            "n_fuzzy",
+            F.col("_best.l").cast("long").alias("best_lev_milli"),
+            F.col("_best.b").alias("best_bench"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Recrawl delta: classify every document across two corpus
+    snapshots by identity and content fingerprint.
+
+    Returns one row per doc id present in EITHER snapshot:
+    (id_col, status, *keep_cols) where status ∈
+    {'added', 'removed', 'changed', 'unchanged'} and each keep_col is
+    coalesce(new.col, old.col) — the freshest available metadata.
+
+    Recrawls dominate web-scale corpus maintenance: 90%+ of a monthly
+    crawl is unchanged content, and re-deduplicating / re-scoring it
+    wastes the whole cluster. This diff gates the expensive pipeline
+    to 'added' + 'changed' rows only; fingerprints (60-bit content
+    hashes, the q37 convention) make content comparison a BIGINT
+    equality instead of a text comparison.
+
+    Scale shape: ONE full-outer shuffle join on the id — both sides
+    hash-partition by the same key, so at 100 TB this is the minimal
+    co-partitioned exchange; the status CASE is pure codegen. No
+    window, no skew exposure (ids are unique on each side).
+    """
+    o = old.select(
+        F.col(id_col).alias("_oid"),
+        F.col(fp_col).alias("_ofp"),
+        *[F.col(c).alias(f"_o_{c}") for c in keep_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_nid"),
+        F.col(fp_col).alias("_nfp"),
+        *[F.col(c).alias(f"_n_{c}") for c in keep_cols],
+    )
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    status = (
+        F.when(F.col("_oid").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in keep_cols
+        ],
+    )

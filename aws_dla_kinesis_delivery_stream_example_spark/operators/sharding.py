@@ -1,0 +1,89 @@
+"""Deterministic training-shard shuffle.
+
+A 100 TB pretraining corpus must be (a) split into a fixed number of
+shards, (b) shuffled within and across shards, and (c) reproducible —
+re-running the job on the same snapshot must yield byte-identical
+shard contents so data order (which affects the loss curve) is an
+experiment variable, not an accident. Random-number generators don't
+survive re-partitioning or speculative re-execution; content hashes
+do. All "randomness" here derives from the engine-portable 60-bit
+md5-prefix hash (functions.text.hash60, the q37/q104 convention), so
+shard assignment and intra-shard order are pure functions of
+(seed, doc_id) on ANY engine.
+
+Scale shape: `assign_shards` is a pure projection (zero shuffles —
+the hash is computed at scan); `shard_manifest` adds ONE map-side-
+combinable hash aggregate over n_shards groups. Writing the actual
+shards is then `df.repartition(n_shards, "shard")` + per-partition
+sort by order_key — a single exchange whose partitioning is the
+output layout, the minimum any shuffler can do. The XOR checksum is
+order- and partitioning-independent (XOR is commutative), so two runs
+on different cluster layouts can be compared shard-by-shard without
+re-reading payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def _tagged_hash(tag: str, seed: int, id_col: Column) -> Column:
+    """hash60 over 'tag:seed:id' — independent streams per tag, the
+    domain-separation trick that keeps shard choice and intra-shard
+    order uncorrelated (a single hash reused for both would sort each
+    shard by its own bucket value: ordered buckets, not a shuffle)."""
+    return TX.hash60(F.concat(F.lit(f"{tag}:{seed}:"), id_col.cast("string")))
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 17,
+) -> DataFrame:
+    """Add ``shard`` (int64 in [0, n_shards)) and ``order_key`` (int64)
+    columns. Sorting by (shard, order_key) IS the deterministic global
+    shuffle; ties on the 60-bit order_key are broken downstream by the
+    unique id, though a collision needs ~2^30 docs per shard to show
+    up at even 50% odds."""
+    if n_shards <= 0:
+        raise ValueError(f"assign_shards: n_shards must be positive, got {n_shards}")
+    idc = F.col(id_col)
+    return df.select(
+        "*",
+        (_tagged_hash("shard", seed, idc) % n_shards).alias("shard"),
+        _tagged_hash("order", seed, idc).alias("order_key"),
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 17,
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest: doc count, payload volume, XOR checksum of
+    the order keys, and the key span. The checksum verifies shard
+    CONTENT equality across runs/engines without comparing payloads;
+    the span is what a downstream reader uses to merge-sort shards
+    back into one deterministic stream.
+
+    Columns: shard, n_docs, total_chars, xor_check, min_key, max_key.
+    """
+    assigned = assign_shards(df, id_col, n_shards, seed)
+    vol = (
+        F.sum(F.col(chars_col)).cast("long")
+        if chars_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        vol.alias("total_chars"),
+        F.expr("bit_xor(order_key)").cast("long").alias("xor_check"),
+        F.min("order_key").cast("long").alias("min_key"),
+        F.max("order_key").cast("long").alias("max_key"),
+    )

@@ -63,3 +63,59 @@ def explode_salts(df: DataFrame, n_salts: int) -> DataFrame:
     return df.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+
+
+def key_skew_audit(df: DataFrame, key_col: str, n_buckets: int = 32) -> DataFrame:
+    """Pre-flight shuffle-skew audit for a join/agg key: simulate the
+    hash partitioning a shuffle on ``key_col`` would produce and
+    report, per bucket, the row volume, key cardinality, and hottest
+    key. Run this BEFORE committing a 100 TB job to a shuffle on the
+    key — a bucket holding 30% of the rows means that exchange stalls
+    one reducer for hours; the report's max_key_rows tells you whether
+    the fix is salting (one giant key) or more partitions (many keys
+    that merely hash together).
+
+    Buckets use the engine-portable 60-bit hash (functions.text.hash60)
+    rather than Spark's Murmur3 so the ORACLE sees identical bucket
+    membership; the skew *pattern* is what's audited, and any uniform
+    hash exposes the same per-key concentration.
+
+    Columns: bucket, n_rows, n_keys, max_key_rows, hot_key,
+    hot_key_rows — hot key ties broken by the larger key value via a
+    lexicographic struct max (skew-immune house shape, no window).
+
+    Scale shape: two hash aggregates. Phase 1 groups by the key itself
+    (map-side combine collapses hot keys to one partial per task —
+    the audit is immune to the very skew it measures); phase 2 groups
+    the |keys|-sized count frame by bucket. No join, no window, no
+    collect.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"key_skew_audit: n_buckets must be positive, got {n_buckets}")
+    from ..functions import text as TX
+
+    k = F.col(key_col)
+    per_key = df.groupBy(k.alias("_key")).agg(F.count(F.lit(1)).alias("_cnt"))
+    bucketed = per_key.select(
+        (TX.hash60(F.col("_key").cast("string")) % n_buckets).alias("bucket"),
+        "_key",
+        "_cnt",
+    )
+    hot = F.max(F.struct(F.col("_cnt"), F.col("_key"))).alias("_hot")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("_cnt").cast("long").alias("max_key_rows"),
+            hot,
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.col("_hot._key").alias("hot_key"),
+            F.col("_hot._cnt").cast("long").alias("hot_key_rows"),
+        )
+    )

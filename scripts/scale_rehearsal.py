@@ -798,8 +798,32 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # round-9b: q116 snapshot diff (full-outer-join family —
+        # candidates := docs present in EITHER snapshot, i.e. the
+        # joined row volume; must track corpus size exactly linearly).
+        # q115 shard manifests and q117 fertility are single map-side-
+        # combinable hash aggs over scan-time projections — no hazard
+        # to curve (the q97 convention).
+        sd = specs["q116_snapshot_diff"].spark(spark, sf_dir).persist()
+        _, row["snapdiff_sec"] = timed(sd.count)
+        row["snapdiff_candidates"] = int(
+            sd.agg(F.sum("n_docs")).collect()[0][0] or 0
+        )
+        sd.unpersist()
+        spark.catalog.clearCache()
+
         if os.path.exists(os.path.join(sf_dir, "events.parquet")):
             row["n_events"] = load_table(spark, sf_dir, "events").count()
+            # q118 skew audit: phase-1 per-key agg — candidates :=
+            # distinct keys crossing the bucket agg; wall must stay
+            # linear in events while the OUTPUT stays n_buckets rows.
+            sa = specs["q118_key_skew_audit"].spark(spark, sf_dir).persist()
+            _, row["skewaudit_sec"] = timed(sa.count)
+            row["skewaudit_candidates"] = int(
+                sa.agg(F.sum("n_keys")).collect()[0][0] or 0
+            )
+            sa.unpersist()
+            spark.catalog.clearCache()
             n_out, row["zscore_sec"] = timed(
                 lambda: specs["q105_rolling_zscore"].spark(spark, sf_dir).count()
             )
@@ -832,6 +856,7 @@ def main() -> None:
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
+        "snapdiff",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
@@ -847,9 +872,20 @@ def main() -> None:
         summary["quantann_time_ratio"] = round(
             hi["quantann_sec"] / max(lo["quantann_sec"], 0.01), 1
         )
-    # q105 runs on the real tiers only (no events in the synth tiers):
-    # its exponent is computed over the events span, not documents
+    # q105/q118 run on the real tiers only (no events in the synth
+    # tiers): their exponents use the events span, not documents
     zlo, zhi = results[SFS[0][0]], results[SFS[-1][0]]
+    if "skewaudit_candidates" in zlo and "skewaudit_candidates" in zhi:
+        zgrowth = math.log10(max(zhi["n_events"], 1) / max(zlo["n_events"], 1))
+        summary["skewaudit_candidate_exponent"] = round(
+            math.log10(
+                max(zhi["skewaudit_candidates"], 1)
+                / max(zlo["skewaudit_candidates"], 1)
+            ) / zgrowth, 2
+        )
+        summary["skewaudit_time_ratio"] = round(
+            zhi["skewaudit_sec"] / max(zlo["skewaudit_sec"], 0.01), 1
+        )
     if "zscore_candidates" in zlo and "zscore_candidates" in zhi:
         zgrowth = math.log10(max(zhi["n_events"], 1) / max(zlo["n_events"], 1))
         summary["zscore_span_events"] = f'{zlo["n_events"]}->{zhi["n_events"]}'

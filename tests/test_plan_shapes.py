@@ -198,6 +198,30 @@ def test_round9_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges above staging (budget {budget})"
 
 
+def test_round9b_exchange_budgets(spark):
+    """Round-9b additions (q115-q118), tree-walk budgets, measured + 1
+    headroom for AQE join swaps. None of these stage, so the tree walk
+    sees the whole plan."""
+    for name, budget in (
+        # manifest agg + catalog sort — assignment itself is a pure
+        # scan-time projection (measured 2)
+        ("q115_shard_shuffle", 3),
+        # one co-partitioned full-outer join (2 sides) + source agg +
+        # sort (measured 4); a regression that re-shuffles the CASE
+        # classification or aggs per side blows this
+        ("q116_snapshot_diff", 5),
+        # one (source, lang) hash agg + sort (measured 2); the three
+        # regexp token counts must stay inside the scan projection
+        ("q117_tokenizer_fertility", 3),
+        # per-key agg + per-bucket agg + sort (measured 3); no join,
+        # no window — the audit must stay immune to the skew it reads
+        ("q118_key_skew_audit", 4),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""

@@ -1,0 +1,156 @@
+"""Planted-value tests for the round-9b operators (q115-q118): known
+tiny inputs with hand-computed outputs, independent of the DuckDB
+oracle machinery (which could share a misunderstanding with the Spark
+plan)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from aws_dla_kinesis_delivery_stream_example_spark.operators import (
+    curation,
+    sharding,
+    skew,
+)
+
+
+def _hash60_py(s: str) -> int:
+    """Python reimplementation of the engine-portable 60-bit hash —
+    the third, engine-independent vote for the planted checks."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- q115
+
+
+def test_assign_shards_matches_python_hash(spark):
+    """Shard and order key are pure functions of (seed, id): the Spark
+    values must equal an independent Python md5 computation, and the
+    two hash streams must be domain-separated (different tags)."""
+    df = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in sharding.assign_shards(df, "doc_id", 4, seed=9).collect()}
+    for i in (7, 8):
+        assert rows[i]["shard"] == _hash60_py(f"shard:9:{i}") % 4
+        assert rows[i]["order_key"] == _hash60_py(f"order:9:{i}")
+        # domain separation: shard hash != order hash for the same id
+        assert rows[i]["order_key"] % 4 != rows[i]["shard"] or _hash60_py(
+            f"order:9:{i}"
+        ) != _hash60_py(f"shard:9:{i}")
+
+
+def test_shard_manifest_planted_and_partitioning_invariant(spark):
+    """Manifest totals reconcile with the input, the XOR checksum
+    equals the Python-side XOR, and re-partitioning the input (a
+    different cluster layout) yields an IDENTICAL manifest — the
+    reproducibility contract the operator exists for."""
+    ids = list(range(20))
+    df = spark.createDataFrame([(i, 10 + i) for i in ids], "doc_id long, n_chars long")
+    man = {
+        r["shard"]: r
+        for r in sharding.shard_manifest(df, "doc_id", 3, seed=17, chars_col="n_chars").collect()
+    }
+    expect: dict[int, list[int]] = {}
+    for i in ids:
+        expect.setdefault(_hash60_py(f"shard:17:{i}") % 3, []).append(i)
+    assert set(man) == set(expect)
+    for sh, members in expect.items():
+        keys = [_hash60_py(f"order:17:{i}") for i in members]
+        xor = 0
+        for k in keys:
+            xor ^= k
+        assert man[sh]["n_docs"] == len(members)
+        assert man[sh]["total_chars"] == sum(10 + i for i in members)
+        assert man[sh]["xor_check"] == xor
+        assert man[sh]["min_key"] == min(keys)
+        assert man[sh]["max_key"] == max(keys)
+    assert sum(r["n_docs"] for r in man.values()) == len(ids)
+    # layout invariance: 7-way round-robin repartition, same manifest
+    man2 = {
+        r["shard"]: r
+        for r in sharding.shard_manifest(
+            df.repartition(7), "doc_id", 3, seed=17, chars_col="n_chars"
+        ).collect()
+    }
+    assert {k: v.asDict() for k, v in man.items()} == {
+        k: v.asDict() for k, v in man2.items()
+    }
+
+
+def test_assign_shards_rejects_bad_shard_count(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_shards"):
+        sharding.assign_shards(df, "doc_id", 0)
+
+
+# ---------------------------------------------------------------- q116
+
+
+def test_snapshot_diff_planted(spark):
+    """1 only-old (removed), 2 same fp (unchanged), 3 fp differs
+    (changed), 4 only-new (added); keep_cols prefer the NEW side."""
+    old = spark.createDataFrame(
+        [(1, 11, "a"), (2, 22, "b"), (3, 33, "c")],
+        "doc_id long, fp long, src string",
+    )
+    new = spark.createDataFrame(
+        [(2, 22, "b"), (3, 34, "c2"), (4, 44, "d")],
+        "doc_id long, fp long, src string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["src"])
+        for r in curation.snapshot_diff(old, new, "doc_id", "fp", keep_cols=("src",)).collect()
+    }
+    assert got == {
+        1: ("removed", "a"),
+        2: ("unchanged", "b"),
+        3: ("changed", "c2"),  # freshest metadata wins
+        4: ("added", "d"),
+    }
+
+
+def test_snapshot_diff_null_fingerprints_classify_unchanged(spark):
+    """NULL fingerprints (NULL-text docs) on both sides: NULL != NULL
+    is NULL, so the CASE falls through to 'unchanged' — identically on
+    Spark and DuckDB (documented degenerate rule in q116)."""
+    old = spark.createDataFrame([(1, None)], "doc_id long, fp long")
+    new = spark.createDataFrame([(1, None)], "doc_id long, fp long")
+    [r] = curation.snapshot_diff(old, new, "doc_id", "fp").collect()
+    assert r["status"] == "unchanged"
+
+
+# ---------------------------------------------------------------- q118
+
+
+def test_key_skew_audit_planted_single_bucket(spark):
+    """n_buckets=1 folds everything into bucket 0: totals and the
+    hottest key are hand-checkable."""
+    df = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "user_id long")
+    [r] = skew.key_skew_audit(df, "user_id", n_buckets=1).collect()
+    assert (r["bucket"], r["n_rows"], r["n_keys"], r["max_key_rows"]) == (0, 5, 3, 3)
+    assert (r["hot_key"], r["hot_key_rows"]) == (1, 3)
+
+
+def test_key_skew_audit_tie_breaks_to_larger_key(spark):
+    """Equal counts: the lexicographic struct max picks the LARGER key
+    — deterministic across engines and partitionings (no max_by tie
+    nondeterminism)."""
+    df = spark.createDataFrame([(5,), (5,), (9,), (9,)], "user_id long")
+    [r] = skew.key_skew_audit(df, "user_id", n_buckets=1).collect()
+    assert (r["hot_key"], r["hot_key_rows"]) == (9, 2)
+
+
+def test_key_skew_audit_row_conservation(spark):
+    """sum(n_rows) over buckets == input rows; every key lands in
+    exactly one bucket."""
+    df = spark.createDataFrame([(i % 13,) for i in range(100)], "user_id long")
+    rows = skew.key_skew_audit(df, "user_id", n_buckets=4).collect()
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert sum(r["n_keys"] for r in rows) == 13
+
+
+def test_key_skew_audit_rejects_bad_bucket_count(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        skew.key_skew_audit(df, "user_id", n_buckets=0)
