@@ -798,6 +798,46 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # round-9c: q119 fuzzy decontam. The catalog query's benchmark
+        # is a corpus slice (doc_id % 50), which GROWS with the tier —
+        # at 100 TB the eval set is FIXED, so the rehearsal isolates
+        # the true story: bench pinned to the SMALLEST tier's slice,
+        # candidates := blocked (cand, bench) pairs — the volume the
+        # O(len^2) levenshtein verify stage must score; must stay
+        # ~linear in corpus docs at fixed bench.
+        from aws_dla_kinesis_delivery_stream_example_spark.operators import (
+            curation as _cur,
+        )
+
+        bench_fixed = (
+            load_table(spark, SFS[0][1], "documents")
+            .filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id", "text")
+        )
+        from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+            _shingle_hash_rows as _shr,
+        )
+
+        cand_docs = docs.filter(F.col("doc_id") % 50 != 0)
+        bsh = (
+            _shr(bench_fixed, "doc_id", "text", 4)
+            .select(F.col("doc").alias("bid"), "h")
+            .distinct()
+        )
+        csh = _shr(cand_docs, "doc_id", "text", 4).select(
+            F.col("doc").alias("cid"), "h"
+        )
+        row["fuzzy_candidates"] = (
+            csh.join(F.broadcast(bsh), "h").select("cid", "bid").distinct().count()
+        )
+        _, row["fuzzy_sec"] = timed(
+            lambda: _cur.fuzzy_contamination(
+                cand_docs, bench_fixed, "doc_id", "text", n=4, max_dist_milli=300
+            ).count()
+        )
+        release_staging()
+        spark.catalog.clearCache()
+
         # round-9b: q116 snapshot diff (full-outer-join family —
         # candidates := docs present in EITHER snapshot, i.e. the
         # joined row volume; must track corpus size exactly linearly).
@@ -856,7 +896,7 @@ def main() -> None:
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
-        "snapdiff",
+        "snapdiff", "fuzzy",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

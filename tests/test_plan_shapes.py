@@ -216,6 +216,14 @@ def test_round9b_exchange_budgets(spark):
         # per-key agg + per-bucket agg + sort (measured 3); no join,
         # no window — the audit must stay immune to the skew it reads
         ("q118_key_skew_audit", 4),
+        # pair-distinct + per-cand agg + text join-backs + sort
+        # (measured 7); the bench side must stay broadcast — a
+        # regression that shuffles the bench shingles or texts blows
+        # this budget
+        ("q119_fuzzy_decontam", 8),
+        # one corpus hash agg + grid join + 6-row window + sort
+        # (measured 3); corpus size must touch exactly one exchange
+        ("q120_filter_ablation", 4),
     ):
         df = all_specs()[name].spark(spark, SF)
         n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())

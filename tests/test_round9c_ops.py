@@ -154,3 +154,55 @@ def test_key_skew_audit_rejects_bad_bucket_count(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="n_buckets"):
         skew.key_skew_audit(df, "user_id", n_buckets=0)
+
+
+# ---------------------------------------------------------------- q119
+
+
+def test_fuzzy_contamination_planted(spark):
+    """cand 10 is a light edit of bench 1 (shares 4-grams, small lev);
+    cand 11 shares a 4-gram but is mostly different text (blocked but
+    NOT fuzzy-flagged => absent from output); cand 12 shares no 4-gram
+    with any bench doc (never blocked, never scored)."""
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "the quick brown fox " + "completely unrelated words " * 20),
+            (12, "nothing in common with anything at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation.fuzzy_contamination(
+        cand, bench, "doc_id", "text", n=4, max_dist_milli=300
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [10]
+    [r] = rows
+    assert r["best_bench"] == 1 and r["n_blocked"] == 1 and r["n_fuzzy"] == 1
+    # lev('...dog...', '...cat...') = 3 over the 51-char texts
+    assert r["best_lev_milli"] == 1000 * 3 // 51
+
+
+def test_fuzzy_contamination_best_is_min_struct(spark):
+    """Two gated bench matches: best = lexicographic (lev_milli,
+    bench_id) min — the CLOSER match wins, ties to the smaller id."""
+    bench = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id long, text string",
+    )
+    [r] = curation.fuzzy_contamination(
+        cand, bench, "doc_id", "text", n=4, max_dist_milli=300
+    ).collect()
+    # exact match with bench 2 (lev 0) beats bench 1 (lev 5)
+    assert (r["best_lev_milli"], r["best_bench"]) == (0, 2)
+    assert r["n_blocked"] == 2 and r["n_fuzzy"] == 2
