@@ -505,3 +505,53 @@ def q113_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _stream_documents_closed(spark, sf_dir, op, "complete")
     top = _sketch.exact_top_tokens(_load(spark, sf_dir, "documents"), "text", 20)
     return _sketch.countmin_probe(grid, top)
+
+
+@query(
+    "q121_streaming_shard_manifest",
+    oracle="""
+        WITH assigned AS (
+            SELECT CAST('0x' || substring(md5('shard:17:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 8 AS shard,
+                   CAST('0x' || substring(md5('order:17:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS order_key,
+                   n_chars
+            FROM documents
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(bit_xor(order_key) AS BIGINT) AS xor_check,
+               CAST(min(order_key) AS BIGINT) AS min_key,
+               CAST(max(order_key) AS BIGINT) AS max_key
+        FROM assigned
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    description="STREAMING training-shard manifests: the q115 shard "
+    "assignment and manifest aggregation maintained as streaming state "
+    "over the documents stream (complete mode, availableNow drain) — "
+    "the manifests the stream leaves behind must equal the batch-built "
+    "manifests bit-for-bit (identical oracle to q115), because every "
+    "manifest statistic (count, sum, XOR, min, max) is a mergeable "
+    "aggregate, so micro-batch partial aggregation cannot drift",
+    tags=("streaming", "sharding", "llm"),
+)
+def q121_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ingest pipeline doesn't re-shard the corpus after landing —
+    it maintains shard manifests AS the crawl streams in, then writes
+    shards straight from the running state. Correct exactly because
+    the manifest is built from linear (commutative + associative)
+    aggregates over a pure per-row hash projection: any micro-batch
+    split or partial-agg merge order lands on the same state. State is
+    n_shards rows of 5 BIGINTs — constant at any ingest volume (the
+    q113 constant-state family). Shard/order keys are content hashes,
+    so a replayed batch (at-least-once ingestion) re-derives identical
+    keys; idempotent manifest maintenance then only needs upstream
+    dedup (q51/q83), not key coordination."""
+    from ..operators import sharding as _sharding
+
+    def op(df):
+        return _sharding.shard_manifest(df, "doc_id", 8, seed=17, chars_col="n_chars")
+
+    return _stream_documents_closed(spark, sf_dir, op, "complete").orderBy("shard")

@@ -206,3 +206,54 @@ def test_fuzzy_contamination_best_is_min_struct(spark):
     # exact match with bench 2 (lev 0) beats bench 1 (lev 5)
     assert (r["best_lev_milli"], r["best_bench"]) == (0, 2)
     assert r["n_blocked"] == 2 and r["n_fuzzy"] == 2
+
+
+# ---------------------------------------------------------------- q121
+
+
+def test_streaming_shard_manifest_multibatch_equals_batch(spark, tmp_path):
+    """The manifest is built from linear aggregates, so a 3-micro-batch
+    split (maxFilesPerTrigger=1) must land on the IDENTICAL manifest as
+    the one-shot batch build — including the XOR checksum, whose merge
+    order differs per split."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import sharding
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(60)], "doc_id long, n_chars long"
+    )
+    src = str(tmp_path / "src")
+    for b, pred in enumerate(
+        [F.col("doc_id") < 20, (F.col("doc_id") >= 20) & (F.col("doc_id") < 40), F.col("doc_id") >= 40]
+    ):
+        docs.filter(pred).write.parquet(os.path.join(src, f"b{b}"))
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = sharding.shard_manifest(stream, "doc_id", 4, seed=17, chars_col="n_chars")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("shard_manifest_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["shard"]: r.asDict()
+        for r in spark.sql("SELECT * FROM shard_manifest_out").collect()
+    }
+    want = {
+        r["shard"]: r.asDict()
+        for r in sharding.shard_manifest(
+            docs, "doc_id", 4, seed=17, chars_col="n_chars"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 4  # all shards populated -> the check is non-vacuous
