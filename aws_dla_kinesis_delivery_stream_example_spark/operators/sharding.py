@@ -87,3 +87,44 @@ def shard_manifest(
         F.min("order_key").cast("long").alias("min_key"),
         F.max("order_key").cast("long").alias("max_key"),
     )
+
+
+def write_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_dir: str,
+    seed: int = 17,
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Materialize the deterministic shuffle: assign, repartition BY
+    SHARD (the output layout is the only exchange), sort each
+    partition by (shard, order_key, id), write parquet partitioned by
+    shard, and return the manifest to verify the written files
+    against.
+
+    Layout contract: `repartition(n_shards, "shard")` routes every
+    row of a shard to ONE task, so each `shard=K/` directory holds
+    that task's output in sorted order (one file unless
+    ``spark.sql.files.maxRecordsPerFile`` splits it, in which case
+    file-sequence order preserves the sort — Spark numbers split
+    files monotonically within the task). Two shards may share a task
+    (hash collision over n_shards buckets); partitionBy still splits
+    them into their own directories, each internally sorted. Rerunning
+    on any cluster layout rewrites byte-identical shard contents —
+    compare manifests (xor_check) instead of payloads to prove it.
+
+    The id tiebreak after order_key makes the within-shard order total
+    even across 60-bit order-key collisions (~2^30 docs/shard for 50%
+    odds), so the layout is reproducible unconditionally, not just
+    almost-surely.
+    """
+    assigned = assign_shards(df, id_col, n_shards, seed)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return shard_manifest(df, id_col, n_shards, seed, chars_col)

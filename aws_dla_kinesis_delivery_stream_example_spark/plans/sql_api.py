@@ -230,3 +230,84 @@ def q90_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q122_scd2_history",
+    oracle="""
+        WITH obs AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS prev_type
+            FROM obs
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_us, event_id
+            FROM flagged
+            WHERE prev_type IS NULL OR event_type != prev_type
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS BIGINT) AS version,
+               event_type,
+               CAST(ts_us AS BIGINT) AS valid_from_us,
+               CAST(lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS BIGINT) AS valid_to_us,
+               lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) IS NULL AS is_current
+        FROM changes
+        ORDER BY user_id, version
+    """,
+    description="SCD type-2 history build: per-user event_type "
+    "observations collapse into validity intervals — consecutive "
+    "duplicates suppressed by a lag pass, [valid_from, valid_to) from "
+    "lead, open interval = current row. The warehouse history-table "
+    "shape (the reference's upsert DDL kept only latest state; this "
+    "keeps the full audit trail). Interval bounds as epoch "
+    "microseconds (BIGINT), tie-broken by event_id",
+    tags=("sql", "cdc", "window", "scd2"),
+)
+def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: all three window passes (change-detect lag,
+    version row_number, interval lead) share ONE user_id partitioning
+    — the change filter between them preserves it, so Catalyst plans a
+    single exchange and per-key sorts (budget pinned). Per-user
+    partitions are bounded by per-entity activity, never the corpus.
+    At 100 TB this is the incremental dimension-history compaction
+    job; timestamps travel as exact BIGINT micros (DuckDB epoch_us ==
+    Spark unix_micros after the nanos->micros truncation both engines
+    apply to the NANOS parquet encoding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    wk = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(wk)).filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(wk).cast("long").alias("version"),
+            "event_type",
+            F.col("ts_us").cast("long").alias("valid_from_us"),
+            F.lead("ts_us").over(wk).cast("long").alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "version")
+    )

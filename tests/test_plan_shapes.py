@@ -224,6 +224,11 @@ def test_round9b_exchange_budgets(spark):
         # one corpus hash agg + grid join + 6-row window + sort
         # (measured 3); corpus size must touch exactly one exchange
         ("q120_filter_ablation", 4),
+        # all three window passes (lag / row_number / lead) share ONE
+        # user_id exchange + catalog sort (measured 2); a regression
+        # that re-shuffles between the change filter and the interval
+        # windows blows this
+        ("q122_scd2_history", 3),
     ):
         df = all_specs()[name].spark(spark, SF)
         n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())

@@ -257,3 +257,79 @@ def test_streaming_shard_manifest_multibatch_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 4  # all shards populated -> the check is non-vacuous
+
+
+# ---------------------------------------------------------------- q122
+
+
+def test_scd2_intervals_planted(spark):
+    """User 1: A@10, A@20 (suppressed dup), B@30, A@40 — three
+    versions with chained intervals; user 2: one observation, open
+    interval. Hand-checked against the SCD2 definition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),
+            (1, "B", 30, 102),
+            (1, "A", 40, 103),
+            (2, "X", 50, 104),
+        ],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    wk = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn("prev", F.lag("event_type").over(wk)).filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    out = changes.select(
+        "user_id",
+        F.row_number().over(wk).alias("version"),
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wk).alias("valid_to_us"),
+    ).collect()
+    got = {(r["user_id"], r["version"]): (r["event_type"], r["valid_from_us"], r["valid_to_us"]) for r in out}
+    assert got == {
+        (1, 1): ("A", 10, 30),   # the A@20 duplicate is suppressed
+        (1, 2): ("B", 30, 40),
+        (1, 3): ("A", 40, None),
+        (2, 1): ("X", 50, None),
+    }
+
+
+def test_write_shards_layout_and_checksums(spark, tmp_path):
+    """The written shard directories must reconcile with the returned
+    manifest: per-shard row counts and XOR checksums match, and every
+    shard file is internally sorted by order_key (the deterministic-
+    shuffle contract a training loader relies on)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(200)], "doc_id long, n_chars long"
+    )
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r
+        for r in sharding.write_shards(
+            df, "doc_id", 4, out, seed=5, chars_col="n_chars"
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    for sh, m in manifest.items():
+        files = sorted(glob.glob(os.path.join(out, f"shard={sh}", "*.parquet")))
+        assert files, f"shard {sh} wrote no files"
+        keys = []
+        for f in files:
+            keys.extend(pq.read_table(f, columns=["order_key"])["order_key"].to_pylist())
+        assert len(keys) == m["n_docs"]
+        assert keys == sorted(keys), f"shard {sh} not sorted by order_key"
+        xor = 0
+        for k in keys:
+            xor ^= k
+        assert xor == m["xor_check"]
+        assert (min(keys), max(keys)) == (m["min_key"], m["max_key"])
