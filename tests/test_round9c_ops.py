@@ -333,3 +333,50 @@ def test_write_shards_layout_and_checksums(spark, tmp_path):
             xor ^= k
         assert xor == m["xor_check"]
         assert (min(keys), max(keys)) == (m["min_key"], m["max_key"])
+
+
+def test_write_shards_range_mode_stream_order_and_checksums(spark, tmp_path):
+    """tasks_per_shard=2 (the 100 TB mode): each shard spans multiple
+    files, but files concatenated in NAME order must form one sorted
+    stream whose count/XOR/span reconcile with the manifest — the
+    stream-level contract that survives range-boundary drift."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(400)], "doc_id long, n_chars long"
+    )
+    out = str(tmp_path / "shards_rng")
+    manifest = {
+        r["shard"]: r
+        for r in sharding.write_shards(
+            df, "doc_id", 3, out, seed=5, chars_col="n_chars", tasks_per_shard=2
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2}
+    multi_file_shards = 0
+    for sh, m in manifest.items():
+        files = sorted(glob.glob(os.path.join(out, f"shard={sh}", "*.parquet")))
+        assert files
+        multi_file_shards += len(files) > 1
+        keys = []
+        for f in files:
+            keys.extend(pq.read_table(f, columns=["order_key"])["order_key"].to_pylist())
+        assert len(keys) == m["n_docs"]
+        assert keys == sorted(keys), f"shard {sh} concatenated stream not sorted"
+        xor = 0
+        for k in keys:
+            xor ^= k
+        assert xor == m["xor_check"]
+        assert (min(keys), max(keys)) == (m["min_key"], m["max_key"])
+    # the mode must actually have split at least one shard across
+    # files, or this test degenerates into the single-task case
+    assert multi_file_shards >= 1
+
+
+def test_write_shards_rejects_bad_parallelism(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError, match="tasks_per_shard"):
+        sharding.write_shards(df, "doc_id", 2, str(tmp_path / "x"), tasks_per_shard=0)
