@@ -380,3 +380,58 @@ def test_write_shards_rejects_bad_parallelism(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_chars long")
     with pytest.raises(ValueError, match="tasks_per_shard"):
         sharding.write_shards(df, "doc_id", 2, str(tmp_path / "x"), tasks_per_shard=0)
+
+
+def test_streaming_shard_manifest_checkpoint_exactly_once(spark, tmp_path):
+    """Exactly-once for the streaming manifest across checkpoint
+    reruns: a rerun with NO new files fires no trigger (emits nothing
+    — already-committed files are not re-ingested), and a rerun after
+    a NEW file lands must emit the manifest of ALL docs exactly once —
+    if the first batch were double-ingested, n_docs would exceed the
+    batch truth and the XOR checksum would drift. The q38/q51
+    exactly-once discipline extended to the streaming agg family."""
+    import os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import sharding
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(50)], "doc_id long, n_chars long"
+    )
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 40").write.parquet(os.path.join(src, "b0"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(qname):
+        stream = spark.readStream.schema("doc_id long, n_chars long").parquet(
+            src + "/b*"
+        )
+        out = sharding.shard_manifest(stream, "doc_id", 4, seed=17, chars_col="n_chars")
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["shard"]: r.asDict()
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    first = drain("shard_rerun_1")
+    assert sum(m["n_docs"] for m in first.values()) == 40
+    # rerun, no new files: nothing re-ingested, nothing re-emitted
+    assert drain("shard_rerun_2") == {}
+    # a new file lands; the next drain must see exactly 40 + 10 docs
+    docs.filter("doc_id >= 40").write.parquet(os.path.join(src, "b1"))
+    third = drain("shard_rerun_3")
+    want = {
+        r["shard"]: r.asDict()
+        for r in sharding.shard_manifest(
+            docs, "doc_id", 4, seed=17, chars_col="n_chars"
+        ).collect()
+    }
+    assert third == want
+    assert sum(m["n_docs"] for m in third.values()) == 50
