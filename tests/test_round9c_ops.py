@@ -435,3 +435,80 @@ def test_streaming_shard_manifest_checkpoint_exactly_once(spark, tmp_path):
     }
     assert third == want
     assert sum(m["n_docs"] for m in third.values()) == 50
+
+
+# ---------------------------------------------------------------- q123
+
+
+def test_embedding_space_audit_planted(spark):
+    """Label 0: two vectors [1,0] and [0,1] (micro 1e6) — per-dim
+    variance num = n*Q - S^2 = 2*1e12 - 1e12 = 1e12 on BOTH dims, so
+    trace = 2e12, max = 1e12, anisotropy = 1000*1e12 // (2e12//2)
+    = 1000 (perfectly isotropic). Label 1: two copies of [1,0] —
+    zero variance everywhere, anisotropy NULL (0/0 lattice rule)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs  # noqa: F401
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 0.0], 1),
+            (4, [1.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    v = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+            )
+        ).alias("pos", "v"),
+    )
+    per_dim = v.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    got = {
+        r["label"]: (r["trace"], r["mx"])
+        for r in per_dim.groupBy("label")
+        .agg(F.sum(var_num).alias("trace"), F.max(var_num).alias("mx"))
+        .collect()
+    }
+    assert got == {0: (2 * 10**12, 10**12), 1: (0, 0)}
+
+
+# ---------------------------------------------------------------- q125
+
+
+def test_shard_mixture_audit_conserves_and_bounds(spark):
+    """The audit's cells partition the corpus (sum n_docs == input),
+    every share/expected value is a valid milli (0..1000), and a
+    balanced synthetic mixture (sources round-robin over ids, shards
+    by hash) keeps max deviation well under a degenerate 1000."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+    rows = [(i, f"src_{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    import aws_dla_kinesis_delivery_stream_example_spark.operators.sharding as sh
+    from pyspark.sql import functions as F
+
+    assigned = sh.assign_shards(df, "doc_id", 8, seed=17)
+    cells = assigned.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r["n"] for r in cells) == 400
+    spec = all_specs()["q125_shard_mixture_audit"]
+    # spec runs on the documents fixture: bounds + conservation there
+    out = spec.spark(spark, "/root/testdata/sf0.001").collect()
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    release_staging()
+    assert sum(r["n_docs"] for r in out) == 500
+    for r in out:
+        assert 0 <= r["share_milli"] <= 1000
+        assert 0 <= r["expected_milli"] <= 1000
+        assert r["dev_milli"] == abs(r["share_milli"] - r["expected_milli"])
