@@ -512,3 +512,53 @@ def test_shard_mixture_audit_conserves_and_bounds(spark):
         assert 0 <= r["share_milli"] <= 1000
         assert 0 <= r["expected_milli"] <= 1000
         assert r["dev_milli"] == abs(r["share_milli"] - r["expected_milli"])
+
+
+# ---------------------------------------------------------------- q117/q120
+
+
+def test_fertility_lattice_hand_computed(spark):
+    """The milli-unit fertility arithmetic on a hand-countable doc:
+    'ab cd!' = 6 chars, 2 whitespace tokens, 3 BPE-ish tokens
+    ('ab','cd','!') -> fert_ws = 6000//2 = 3000, fert_bpe = 6000//3
+    = 2000, split = 3000//2 = 1500. NULL text counts zero tokens and
+    is excluded from sums (not a crash)."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("s", "en", "ab cd!", 6), ("s", "en", None, 0)],
+        "source string, lang string, text string, n_chars long",
+    )
+    g = df.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(TX.bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+    )
+    [r] = g.select(
+        F.expr("1000 * total_chars div nullif(ws_tokens, 0)").alias("fw"),
+        F.expr("1000 * total_chars div nullif(bpe_tokens, 0)").alias("fb"),
+        F.expr("1000 * bpe_tokens div nullif(ws_tokens, 0)").alias("sp"),
+    ).collect()
+    assert (r["fw"], r["fb"], r["sp"]) == (3000, 2000, 1500)
+
+
+def test_filter_ablation_grid_is_monotone_and_anchored(spark):
+    """Structural invariants of the grid on the fixture: threshold 0
+    covers the whole corpus (share 1000), n_docs and n_tokens are
+    non-increasing in the threshold, and every share is on [0, 1000]."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+
+    rows = all_specs()["q120_filter_ablation"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows[0]["threshold"] == 0 and rows[0]["token_share_milli"] == 1000
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert all(0 <= r["token_share_milli"] <= 1000 for r in rows)
+    # the grid is calibrated non-vacuous: the top threshold still
+    # keeps some docs and drops most (the q36 lesson)
+    assert 0 < docs[-1] < docs[0]
