@@ -239,3 +239,83 @@ def q125_shard_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "source")
     )
+
+
+@query(
+    "q126_winsorized_stats",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(round(value * 1000) AS BIGINT) AS v_milli
+            FROM events
+        ),
+        bounds AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(v_milli, 0.01)) AS BIGINT) AS lo_milli,
+                   CAST(round(quantile_cont(v_milli, 0.99)) AS BIGINT) AS hi_milli
+            FROM m GROUP BY event_type
+        )
+        SELECT m.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               b.lo_milli, b.hi_milli,
+               CAST(count(*) FILTER (WHERE v_milli < lo_milli) AS BIGINT) AS n_clipped_lo,
+               CAST(count(*) FILTER (WHERE v_milli > hi_milli) AS BIGINT) AS n_clipped_hi,
+               CAST(sum(least(greatest(v_milli, lo_milli), hi_milli)) // count(*)
+                    AS BIGINT) AS win_mean_milli
+        FROM m JOIN bounds b USING (event_type)
+        GROUP BY m.event_type, b.lo_milli, b.hi_milli
+        ORDER BY event_type
+    """,
+    description="Winsorized robust statistics per event type: p01/p99 "
+    "bounds (interpolated percentiles ROUNDED to the integer milli "
+    "lattice — so the clip, the clipped sum, and the winsorized mean "
+    "are all exact BIGINT arithmetic), clip counts both sides — the "
+    "outlier-robust aggregation a feature pipeline runs instead of a "
+    "raw mean that one fat-finger event can drag",
+    tags=("relational", "aggregate", "percentile", "audit"),
+)
+def q126_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE percentile agg per event_type (Spark
+    `percentile` == DuckDB `quantile_cont`, the q40 parity) broadcast
+    back to the corpus — no per-group sort window touches the raw
+    events. Milli-unit BIGINT inputs keep the interpolation inputs
+    identical; rounding the two bounds to the lattice makes every
+    downstream op (clip/sum/floor-div mean) exact integer arithmetic,
+    so no engine can drift a clipped sum by summation order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_milli"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("v_milli", F.lit(0.01)), 0)
+        .cast("long")
+        .alias("lo_milli"),
+        F.round(F.percentile("v_milli", F.lit(0.99)), 0)
+        .cast("long")
+        .alias("hi_milli"),
+    )
+    clipped = F.least(F.greatest(F.col("v_milli"), F.col("lo_milli")), F.col("hi_milli"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo_milli", "hi_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("v_milli") < F.col("lo_milli")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("v_milli") > F.col("hi_milli")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.sum(clipped).alias("_cs"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_milli",
+            "hi_milli",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.expr("_cs div n").cast("long").alias("win_mean_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -240,6 +240,10 @@ def test_round9b_exchange_budgets(spark):
         # 7 above staging; 11 unstaged — four corpus derivations
         # without the stage)
         ("q125_shard_mixture_audit", 8),
+        # percentile agg + broadcast bounds back + clip agg + sort
+        # (measured 4); the bounds join must stay broadcast — a
+        # shuffled bounds join re-partitions the corpus twice
+        ("q126_winsorized_stats", 5),
     ):
         from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
             release_staging,

@@ -562,3 +562,39 @@ def test_filter_ablation_grid_is_monotone_and_anchored(spark):
     # the grid is calibrated non-vacuous: the top threshold still
     # keeps some docs and drops most (the q36 lesson)
     assert 0 < docs[-1] < docs[0]
+
+
+# ---------------------------------------------------------------- q126
+
+
+def test_winsorized_stats_planted(spark):
+    """Hand-checked clip on [0..100]-milli values with one fat-finger
+    outlier: v = [10,20,30,40,1000000] for one type. p01/p99 of the
+    5-point set interpolate near the extremes; the outlier must clip
+    to hi and the winsorized mean must land between the honest values
+    and far below the raw mean."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs  # noqa: F401
+
+    vals = [10, 20, 30, 40, 1000000]
+    ev = spark.createDataFrame(
+        [("a", float(v) / 1000) for v in vals], "event_type string, value double"
+    )
+    m = ev.select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("long").alias("v_milli")
+    )
+    b = m.groupBy("event_type").agg(
+        F.round(F.percentile("v_milli", F.lit(0.01)), 0).cast("long").alias("lo"),
+        F.round(F.percentile("v_milli", F.lit(0.99)), 0).cast("long").alias("hi"),
+    )
+    [rb] = b.collect()
+    # numpy-style linear interpolation on sorted [10,20,30,40,1000000]:
+    # p01 at rank 0.04 -> 10 + 0.04*10 = 10.4 -> rounds to 10;
+    # p99 at rank 3.96 -> 40 + 0.96*999960 = 960001.6 -> 960002
+    assert (rb["lo"], rb["hi"]) == (10, 960002)
+    clipped = [min(max(v, rb["lo"]), rb["hi"]) for v in vals]
+    assert sum(clipped) // 5 == (10 + 20 + 30 + 40 + 960002) // 5
+    # and the raw mean is dragged ~200k while the winsorized mean is
+    # bounded by hi -- the operator's reason to exist
+    assert sum(vals) // 5 > sum(clipped) // 5
