@@ -5,19 +5,19 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q108`` as of round-8 end; new
-queries append past that), in a round-9 WINDOW order: the driver's
+Naming: canonical catalog names (``q01..q126`` as of round-9 end; new
+queries append past that), in a round-10 WINDOW order: the driver's
 correctness artifact records only the FIRST 50 dict entries, so this
-round exposes ``q59..q108`` first (then ``q01..q58``, then anything
-past q108) to earn FIRST-EVER driver hash rows for q101-q108 — the
-round-8 additions that landed after the round-8 window was fixed and
-therefore have local/pytest oracle evidence only.  Names are NOT
-aliased — same canonical ``qNN``, same QuerySpec, same oracle; only
-dict insertion order moves.  q51-q58 keep fresh round-8 driver rows
-and q01-q50 fresh round-7 rows, so nothing loses hard coverage.
-Round 10 returns to canonical numeric order (q01 first — refreshing
-q36's recalibrated threshold row).  Queries added DURING round 9
-(q109+) sort after q108 and are driver-uncovered this round
+round exposes ``q109..q126 + q36 + q01..q31`` first — every
+never-driver-verified plan (the 18 round-9 additions q109-q126 AND
+q36, whose threshold was recalibrated in round 8 after its last
+driver row) earns a hard row, while the 31 oldest round-7 rows
+(q01..q31) refresh.  Names are NOT aliased — same canonical ``qNN``,
+same QuerySpec, same oracle; only dict insertion order moves.
+q32..q58 keep round-7/8 rows and q59..q108 fresh round-9 rows, so
+nothing loses hard coverage.  Round 11 refreshes q32..q58 + the
+q77..q108 band per the ledger.  Queries added DURING round 10
+(q127+) sort after the window and are driver-uncovered this round
 (CORRECTNESS_local-only), slated for a later window.  The per-round
 ledger lives in README §Rotation and the full-catalog artifact is
 CORRECTNESS_local_r{N}.json every round.
@@ -32,22 +32,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
-# First catalog number of the driver's 50-entry window this round.
-# Round 9: 59 (window q59..q108, first driver rows for q101-q108).
-# Round 10: set back to 1 (canonical order, q36 row refresh).
-_WINDOW_START = 59
-_WINDOW_END = _WINDOW_START + 49  # inclusive: exactly 50 entries
+# The driver's 50-entry window this round, as an EXPLICIT ordered list
+# of catalog numbers (round 10; round-9 verdict "Next round #1"):
+# q109..q126 (18 round-9 additions, never driver-verified) + q36 (its
+# r8 threshold recalibration post-dates its only driver row) +
+# q01..q31 (the 31 oldest r7 rows, refreshed).  Exactly 50 entries.
+_WINDOW: list[int] = list(range(109, 127)) + [36] + list(range(1, 32))
+assert len(_WINDOW) == 50
+_WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-9 window order: q59..q108 first, then q01..q58, then
-    q109+ — each block in NUMERIC query order (q2 < q10 < q100, not
-    lexicographic; a plain sorted() would slot q100 between q10 and
-    q11 and silently evict the window's tail)."""
+    """Round-10 window order: the explicit ``_WINDOW`` list first (in
+    list position, NOT numeric order — q109..q126 lead so a mid-round
+    catalog addition q127+ cannot evict them), then everything else in
+    NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
+    sorted() would slot q100 between q10 and q11)."""
     m = re.match(r"q(\d+)", name)
     n = int(m.group(1)) if m else 10**9
-    in_window = _WINDOW_START <= n <= _WINDOW_END
-    return (0 if in_window else 1, n, name)
+    if n in _WINDOW_POS:
+        return (0, _WINDOW_POS[n], name)
+    return (1, n, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,10 +64,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-9 window order (module docstring):
-    q59..q108 first, so the driver's 50-entry correctness window is
-    pinned to exactly q59..q108 this round, then q01..q58, then any
-    round-9 additions (q109+).
+    Insertion order is the round-10 window order (module docstring):
+    q109..q126 + q36 + q01..q31 first, so the driver's 50-entry
+    correctness window covers every never-driver-verified plan, then
+    the rest of the catalog in numeric order.
     """
     specs = all_specs()
     return {

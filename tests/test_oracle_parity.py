@@ -41,14 +41,15 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-9 window shift (README §Rotation): exposed names are the
-    # canonical catalog names, but insertion order puts q59..q108
-    # FIRST so the driver's 50-entry correctness window earns the
-    # first-ever driver rows for q101-q108 (landed after the round-8
-    # window was fixed). Each block is in NUMERIC query order
-    # (lexicographic would slot q100 between q10 and q11 and silently
-    # evict the window tail). No aNN aliases. Round-9 additions
-    # (q109+) sort after the window and the q01..q58 tail.
+    # Round-10 window shift (README §Rotation; round-9 verdict Next #1):
+    # exposed names are the canonical catalog names, but insertion
+    # order puts the EXPLICIT window list q109..q126 + q36 + q01..q31
+    # FIRST so the driver's 50-entry correctness window earns hard
+    # rows for every never-driver-verified plan (the 18 round-9
+    # additions and q36's r8-recalibrated threshold) while refreshing
+    # the 31 oldest r7 rows. The tail is in NUMERIC query order
+    # (lexicographic would slot q100 between q10 and q11). No aNN
+    # aliases. Round-10 additions (q127+) sort after the window.
     # The sort key is the entry module's own (one source of truth);
     # the window invariant is asserted independently below.
     import re as _re
@@ -62,14 +63,14 @@ def test_entry_contract(spark):
     bad = [n for n, m in matches.items() if m is None]
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
-    top, end = mod._WINDOW_START, mod._WINDOW_END
-    window = [n for n in nums if top <= n <= end]
-    rest = [n for n in nums if not (top <= n <= end)]
-    assert nums[: len(window)] == sorted(window), "window block not numeric-ordered"
-    assert nums[len(window):] == sorted(rest), "tail block not numeric-ordered"
+    expected_window = list(range(109, 127)) + [36] + list(range(1, 32))
+    assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # window q59..q108 this round (the window is a BOUNDED range so
-    # round-9 additions q109+ cannot silently evict its tail).
-    assert nums[:50] == list(range(top, top + 50)), (
-        f"driver window is not q{top}..q{top + 49}"
+    # round-10 window (an EXPLICIT bounded list, so mid-round catalog
+    # additions q127+ cannot silently evict its tail).
+    assert nums[:50] == expected_window, (
+        "driver window is not q109..q126 + q36 + q01..q31"
     )
+    rest = nums[50:]
+    assert rest == sorted(rest), "tail block not numeric-ordered"
+    assert set(rest).isdisjoint(expected_window), "window names repeated in tail"
