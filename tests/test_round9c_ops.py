@@ -376,6 +376,53 @@ def test_write_shards_range_mode_stream_order_and_checksums(spark, tmp_path):
     assert multi_file_shards >= 1
 
 
+@pytest.mark.parametrize("tasks_per_shard", [1, 2])
+def test_write_shards_readback_full_manifest(spark, tmp_path, tasks_per_shard):
+    """Round-9 verdict Next #3: the returned manifest is recomputed
+    from the INPUT frame (sharding.py write_shards tail), so nothing
+    above guarantees the FILES agree with it on every column. Re-read
+    the written dataset the way a downstream consumer would (one Spark
+    read of the partitioned dir), recompute the FULL manifest — n_docs,
+    total_chars, xor_check, min_key, max_key — from the files alone,
+    and assert exact frame equality with the returned manifest, in
+    both parallelism modes."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(300)], "doc_id long, n_chars long"
+    )
+    out = str(tmp_path / f"shards_rb{tasks_per_shard}")
+    returned = {
+        r["shard"]: r.asDict()
+        for r in sharding.write_shards(
+            df, "doc_id", 4, out, seed=5, chars_col="n_chars",
+            tasks_per_shard=tasks_per_shard,
+        ).collect()
+    }
+    readback = spark.read.parquet(out)
+    # the written rows carry everything the manifest summarizes
+    assert {"doc_id", "n_chars", "shard", "order_key"} <= set(readback.columns)
+    from_files = {
+        r["shard"]: r.asDict()
+        for r in readback.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(order_key)").cast("long").alias("xor_check"),
+            F.min("order_key").cast("long").alias("min_key"),
+            F.max("order_key").cast("long").alias("max_key"),
+        )
+        .collect()
+    }
+    # shard is a parquet partition column: normalize its type
+    from_files = {int(k): dict(v, shard=int(v["shard"])) for k, v in from_files.items()}
+    returned = {int(k): dict(v, shard=int(v["shard"])) for k, v in returned.items()}
+    assert from_files == returned
+    # and the files' doc ids are exactly the input's (no loss, no dup)
+    ids = [r["doc_id"] for r in readback.select("doc_id").collect()]
+    assert sorted(ids) == list(range(300))
+
+
 def test_write_shards_rejects_bad_parallelism(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_chars long")
     with pytest.raises(ValueError, match="tasks_per_shard"):

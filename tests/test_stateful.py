@@ -170,3 +170,118 @@ def test_streaming_zscore_multibatch_equals_batch(spark, tmp_path):
         for r in streaming_rolling_zscore(ev).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_zscore_resume_from_checkpoint(spark, tmp_path):
+    """Round-9 verdict Next #7 (append-mode applyInPandasWithState
+    family, q108): kill the query between micro-batches and restart a
+    NEW query from the same checkpoint. The restarted query must
+    reload the per-user 20-value ring from the state store — if state
+    restarted empty, warm-up (n >= 10) would be re-entered and every
+    early-second-half z would shift. Output across the two query
+    incarnations must partition the batch answer exactly (checkpointed
+    source offsets: nothing re-emitted, nothing lost). Sink is the
+    fault-tolerant FILE sink — the memory sink rejects append-mode
+    checkpoint recovery outright, so it cannot host a resume test."""
+    import os as _os
+
+    from pyspark.sql.functions import col, round as sround
+
+    from aws_dla_kinesis_delivery_stream_example_spark.streaming.stateful import (
+        streaming_rolling_zscore,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", sround(col("value") * 1000, 0).cast("long").alias("v_milli")
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # in-order-per-key across the crash: every b1 ts < every b2 ts
+    ev.filter(F.expr(f"unix_micros(ts) < {int(cut)}")).coalesce(1).write.parquet(
+        _os.path.join(src, "b1")
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, v_milli long"
+        ).parquet(src + "/b*")
+        q = (
+            streaming_rolling_zscore(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # drain, then the query STOPS (the "kill")
+        # sorted list, not set: a replayed row must show up as a dup
+        return sorted(
+            (r.event_id, r.v_milli, r.z)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    first = drain()
+    # crash happened: the query object is gone; second half lands
+    ev.filter(F.expr(f"unix_micros(ts) >= {int(cut)}")).coalesce(1).write.parquet(
+        _os.path.join(src, "b2")
+    )
+    final = drain()
+    want = sorted(
+        (r.event_id, r.v_milli, r.z)
+        for r in streaming_rolling_zscore(ev).collect()
+    )
+    assert final == want and len(want) > 0
+    assert len(final) > len(first) > 0, (
+        "second incarnation emitted nothing (state not resumed?)"
+    )
+
+
+def test_streaming_countmin_resume_from_checkpoint(spark, tmp_path):
+    """Round-9 verdict Next #7 (complete-mode streaming-agg sketch
+    family, q113; q121's manifest family has the same check in
+    test_round9c_ops.py): kill between micro-batches, restart from the
+    checkpoint, and the FINAL complete-mode grid must equal the batch-
+    built sketch bit-for-bit. A state reset would leave the restarted
+    grid counting only the second half."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import sketch
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src + "/b*"
+        )
+        q = (
+            sketch.countmin_counters(stream, "text")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): r[2]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("cms_resume_1")
+    assert partial, "first drain built no grid"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("cms_resume_2")
+    want = {
+        (r[0], r[1]): r[2] for r in sketch.countmin_counters(docs, "text").collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed grid must strictly extend the pre-crash one
+    assert sum(final.values()) > sum(partial.values())
