@@ -208,6 +208,62 @@ def test_fuzzy_contamination_best_is_min_struct(spark):
     assert r["n_blocked"] == 2 and r["n_fuzzy"] == 2
 
 
+def test_normalize_for_edit_distance_unicode_planted(spark):
+    """Round-9 verdict Next #8: a decomposed-form twin (e + U+0301)
+    of a composed benchmark doc ("é" U+00E9) is the SAME text, but
+    raw levenshtein sees the phantom combining mark and raw shingles
+    differ. After the nfc policy on both frames the pair gates at
+    distance 0; strip_marks additionally matches the accent-free
+    variant; ascii pins byte==char parity ("é" -> "?")."""
+    composed = "le caf\u00e9 ouvre apres la pluie ce soir exactement"
+    decomposed = "le cafe\u0301 ouvre apres la pluie ce soir exactement"
+    accent_free = "le cafe ouvre apres la pluie ce soir exactement"
+    assert composed != decomposed and len(decomposed) == len(composed) + 1
+    bench = spark.createDataFrame([(1, composed)], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(10, decomposed), (11, accent_free)], "doc_id long, text string"
+    )
+
+    def run(c, b):
+        return {
+            r["doc_id"]: r
+            for r in curation.fuzzy_contamination(
+                c, b, "doc_id", "text", n=4, max_dist_milli=100
+            ).collect()
+        }
+
+    # raw: the decomposed twin is not even distance-0 (and with a
+    # max_dist_milli tight enough it can drop entirely)
+    raw = run(cand, bench)
+    assert 10 not in raw or raw[10]["best_lev_milli"] > 0
+
+    norm = lambda df, pol: curation.normalize_for_edit_distance(df, "text", pol)  # noqa: E731
+    nfc = run(norm(cand, "nfc"), norm(bench, "nfc"))
+    assert nfc[10]["best_lev_milli"] == 0 and nfc[10]["best_bench"] == 1
+    assert 11 not in nfc or nfc[11]["best_lev_milli"] > 0
+
+    stripped = run(norm(cand, "strip_marks"), norm(bench, "strip_marks"))
+    assert stripped[10]["best_lev_milli"] == 0
+    assert stripped[11]["best_lev_milli"] == 0  # accent-insensitive
+
+    # ascii policy: both the composed bench and decomposed cand land
+    # on the same "caf?" form -> distance 0, and the output is pure
+    # ASCII so byte- and char-counting engines agree exactly
+    asc_cand, asc_bench = norm(cand, "ascii"), norm(bench, "ascii")
+    asc = run(asc_cand, asc_bench)
+    assert asc[10]["best_lev_milli"] == 0
+    texts = [r["text"] for r in asc_cand.collect()] + [
+        r["text"] for r in asc_bench.collect()
+    ]
+    assert all(all(ord(ch) < 128 for ch in t) for t in texts)
+
+
+def test_normalize_for_edit_distance_rejects_unknown_policy(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="policy"):
+        curation.normalize_for_edit_distance(df, "text", "nfkd")
+
+
 # ---------------------------------------------------------------- q121
 
 
