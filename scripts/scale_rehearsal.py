@@ -45,9 +45,9 @@ def synthesize_10x(src_dir: str, factor: int = 10) -> str:
     no spurious cross-replica near-dups — within-replica structure is
     preserved verbatim) and adds seeded N(0, 0.05) noise to embeddings
     (cluster geometry persists, exact duplicates stop being exact).
-    Embeddings are synthesized only at factor=10 (the dense-vector ops
-    are measured on the 10x tier; the 100x tier covers the text-dedup
-    family). One-time cost, keyed by source mtime.
+    Embeddings are synthesized at EVERY factor since round 10 (the
+    100x tier now also curves the q110 quantized-ANN family, verdict
+    r9 Next #4). One-time cost, keyed by source mtime.
     """
     import hashlib
     import re as _re
@@ -61,7 +61,9 @@ def synthesize_10x(src_dir: str, factor: int = 10) -> str:
         f"{src_dir}:{os.path.getmtime(os.path.join(src_dir, 'documents.parquet'))}".encode()
     ).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"spark_graft_scale{factor}x_{key}")
-    marker = os.path.join(out_dir, "_SYNTH_OK")
+    # marker v2: v1 dirs at factor!=10 lack embeddings.parquet (the
+    # 100x tier only curved text ops before round 10) — rebuild those
+    marker = os.path.join(out_dir, "_SYNTH_OK2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -83,14 +85,11 @@ def synthesize_10x(src_dir: str, factor: int = 10) -> str:
     big = pd.concat(frames, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
                    os.path.join(out_dir, "documents.parquet"))
-    if factor != 10:
-        open(marker, "w").close()
-        return out_dir
 
     emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet")).to_pandas()
     mat = np.vstack(emb["embedding"].to_numpy()).astype("float32")
     eframes = []
-    for k in range(10):
+    for k in range(factor):
         e = emb.copy()
         e["vec_id"] = e["vec_id"] + k * 10_000_000
         m = mat if k == 0 else mat + np.random.default_rng(k).normal(
@@ -398,13 +397,114 @@ def extreme_tier_rehearsal(
     _release()
     spark.catalog.clearCache()
 
+    # q110 quantized ANN at the extreme tier (round-9 verdict Next #4):
+    # the 10x candidate exponent was 1.6 and the catalog config pins
+    # n_bits=3 (8 sign buckets), so candidates = sum_b |P_b| x |C_b|
+    # grows ~quadratically at FIXED bucket count — measure that
+    # honestly, then measure the VALVE: n_bits scaled with corpus size
+    # (n_bits ~ log2(n/target_bucket_docs), the trained-quantizer
+    # analog: cell count grows with the corpus so per-cell density —
+    # and with it per-probe work — stays constant). Both tiers of the
+    # exponent computation use the 10x row's fixed-bits candidates.
+    from aws_dla_kinesis_delivery_stream_example_spark.functions import (
+        vectors as _V,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, tier_dir, "embeddings")
+    row["n_vecs"] = emb.count()
+
+    def _qcand(n_bits: int) -> int:
+        b = emb.select("vec_id", _V.sign_bucket("embedding", n_bits).alias("bucket"))
+        return (
+            b.filter(F.col("vec_id") % 2 == 1)
+            .join(
+                b.filter(F.col("vec_id") % 2 == 0).withColumnRenamed("vec_id", "nbr"),
+                "bucket",
+            )
+            .count()
+        )
+
+    row["quantann_candidates"], row["quantann_cand_sec"] = timed(
+        lambda: _qcand(3)
+    )
+    # valve: keep ~2.5k vectors per bucket (the 10x tier's density at
+    # n_bits=3: 20k vecs / 8 buckets) => n_bits grows by ~3.3 per
+    # decade; at this tier (200k vecs) that lands on n_bits=6.
+    valve_bits = max(3, int(math.log2(max(row["n_vecs"], 1) / 2500)))
+    row["quantann_valve_bits"] = valve_bits
+    row["quantann_valved_candidates"], row["quantann_valved_cand_sec"] = timed(
+        lambda: _qcand(valve_bits)
+    )
+    # end-to-end GEMM path at the valve config (the catalog's k/bits
+    # knobs, bucket count scaled) — the wall a 100 TB deployment pays
+    _, row["quantann_valved_sec"] = timed(
+        lambda: SIM.quantized_topk(
+            emb,
+            probe_pred=F.col("vec_id") % 2 == 1,
+            corpus_pred=F.col("vec_id") % 2 == 0,
+            k=3,
+            n_bits=valve_bits,
+        ).count()
+    )
+    spark.catalog.clearCache()
+
+    # q119 fuzzy decontam at the extreme tier: bench PINNED to the
+    # smallest driver tier's slice (an eval suite does not grow with
+    # the crawl), candidates := blocked pairs the O(len^2) levenshtein
+    # verify must score. Blocking volume is |bench shingles| x df — in
+    # this synth model replicas have disjoint vocabulary so df of
+    # bench shingles is constant and candidates should stay ~FLAT
+    # across tiers (exponent ~0); the corpus-scan side (shingling
+    # 500k docs) is the linear cost, visible in fuzzy_sec.
+    bench_fixed = (
+        load_table(spark, SFS[0][1], "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+        _shingle_hash_rows as _shr,
+    )
+
+    cand_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    bsh = (
+        _shr(bench_fixed, "doc_id", "text", 4)
+        .select(F.col("doc").alias("bid"), "h")
+        .distinct()
+    )
+    csh = _shr(cand_docs, "doc_id", "text", 4).select(
+        F.col("doc").alias("cid"), "h"
+    )
+    row["fuzzy_candidates"] = (
+        csh.join(F.broadcast(bsh), "h").select("cid", "bid").distinct().count()
+    )
+    _, row["fuzzy_sec"] = timed(
+        lambda: CU.fuzzy_contamination(
+            cand_docs, bench_fixed, "doc_id", "text", n=4, max_dist_milli=300
+        ).count()
+    )
+    _release()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
-        for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite"):
+        for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite",
+                   "quantann", "fuzzy"):
+            if f"{op}_candidates" not in ref_row:
+                continue
             c_lo = max(ref_row[f"{op}_candidates"], 1)
             c_hi = max(row[f"{op}_candidates"], 1)
             row[f"{op}_exponent_vs_10x"] = round(
                 math.log10(c_hi / c_lo) / growth, 2
+            )
+        if "quantann_candidates" in ref_row:
+            row["quantann_valved_exponent_vs_10x"] = round(
+                math.log10(
+                    max(row["quantann_valved_candidates"], 1)
+                    / max(ref_row["quantann_candidates"], 1)
+                ) / growth, 2
             )
     return row
 
