@@ -144,3 +144,93 @@ def countmin_heavy_hitters(
     counters = countmin_counters(docs, text_col, depth, width)
     top = exact_top_tokens(docs, text_col, k)
     return countmin_probe(counters, top, depth, width)
+
+
+# ---------------------------------------------------------------- HLL
+
+# HyperLogLog geometry (q128/q129): p=8 -> m=256 registers; the house
+# 60-bit hash splits into register = h % m and a 52-bit rank window
+# w = h div m. Standard error ~ 1.04/sqrt(256) = 6.5%.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+# rho(w) = leading zeros of the 52-bit window + 1, in [1, 53]:
+# w > 0 -> 53 - bitlength(w) (bitlength == length(bin(w)) in BOTH
+# Spark and DuckDB — neither pads); w == 0 -> 53.
+_HLL_RHO_MAX = 53
+
+
+def hll_registers(
+    rows: DataFrame, group_col: str, hash_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Per-group HLL register file from pre-hashed values: returns
+    (group_col, register, rho) with rho = max over the group's values
+    landing in that register — at most ``m`` rows per group, TOTAL
+    state m x |groups| regardless of value volume.
+
+    Why this is the 100 TB distinct counter: max() is commutative,
+    associative, and idempotent, so partial aggregation collapses each
+    task to <= m rows per group before the shuffle, replays/dups
+    cannot move the answer (same value -> same register/rho -> max
+    absorbs it), and daily shards union-fold by the same max. The
+    exact count(DISTINCT x) alternative shuffles every distinct value.
+    The same property makes it the streaming state (q129): complete-
+    mode max-agg over any micro-batch split lands on the identical
+    register file bit-for-bit."""
+    if m & (m - 1):
+        raise ValueError(f"hll_registers: m must be a power of two, got {m}")
+    h = F.col(hash_col)
+    # h >> p, NOT h/m: Spark's / is DOUBLE division, which silently
+    # rounds away low bits of a 60-bit hash (int64 > 2^53); the shift
+    # is exact and mirrors the oracle's (h >> p)
+    w = F.shiftright(h, m.bit_length() - 1)  # the 52-bit rank window
+    rho = F.when(w > 0, F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_RHO_MAX)
+    )
+    return (
+        rows.select(
+            F.col(group_col),
+            (h % m).cast("long").alias("register"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str, m: int = HLL_M) -> DataFrame:
+    """Fold a register file into the raw HLL estimate per group:
+    (group_col, n_registers_hit, hll_sum_scaled, hll_est).
+
+    EXACT integer register fold: each register contributes
+    2^(53-rho) (a BIGINT; empty registers 2^53), so ``hll_sum_scaled``
+    = 2^53 * sum(2^-rho) is exact — max 256 * 2^53 = 2^61 < int64.
+    The only floating-point step is the single final division
+    alpha_256 * m^2 * 2^53 / S (one IEEE divide of two exactly-
+    representable values + HALF_UP round — bit-identical on Spark and
+    DuckDB, the int8_quantize precedent), so the estimate carries a
+    full hash oracle despite being a 'floating' formula. Raw
+    estimator only (no small-range linear counting): the q128 shingle
+    streams sit above the 2.5m crossover at every SF, and ln() parity
+    across engines is NOT pinned — documented deviation."""
+    alpha_num = "0.7213 / (1.0 + 1.079 / 256.0)"  # alpha_256, both engines fold identically
+    # SQL expr: pyspark F.shiftleft only takes a Python-int bit count
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_MAX} - rho)")
+    per = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+        F.sum(term).cast("long").alias("_s_hit"),
+    )
+    s = (
+        F.col("_s_hit")
+        + (F.lit(m).cast("long") - F.col("n_registers_hit"))
+        * F.shiftleft(F.lit(1).cast("long"), _HLL_RHO_MAX)
+    )
+    est = F.expr(
+        f"CAST(round(({alpha_num}) * {m}.0 * {m}.0 * 9007199254740992.0"
+        " / CAST(hll_sum_scaled AS DOUBLE)) AS BIGINT)"
+    )
+    return per.withColumn("hll_sum_scaled", s.cast("long")).select(
+        group_col,
+        "n_registers_hit",
+        "hll_sum_scaled",
+        est.alias("hll_est"),
+    )

@@ -555,3 +555,42 @@ def q121_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
         return _sharding.shard_manifest(df, "doc_id", 8, seed=17, chars_col="n_chars")
 
     return _stream_documents_closed(spark, sf_dir, op, "complete").orderBy("shard")
+
+
+from .curation9 import HLL_ORACLE as _HLL_ORACLE  # noqa: E402 (plans/__init__ imports curation9 first)
+
+
+@query(
+    "q129_streaming_hll",
+    # identical oracle to q128: the stream's register file must equal
+    # the batch one bit-for-bit, so the folds agree column-for-column
+    oracle=_HLL_ORACLE,
+    description="STREAMING HyperLogLog-256: the per-source distinct-"
+    "shingle register file maintained as streaming aggregation state "
+    "(complete mode, availableNow drain) — max() is commutative, "
+    "associative AND idempotent, so any micro-batch split, partial-agg "
+    "merge order, or at-least-once replay lands on the identical "
+    "registers, which then fold to the same estimate as the batch face "
+    "(q128, identical oracle — the q112/q113 convention)",
+    tags=("streaming", "sketch", "llm"),
+)
+def q129_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State is |sources| x 256 (register, rho) rows — CONSTANT at any
+    ingest volume (the q113/q121 constant-state family) and the
+    smallest possible distinct-counting state: the exact streaming
+    alternative (q83's digest dedup) holds one key per distinct value.
+    Shingling runs Arrow-batched INSIDE the stream (mapInPandas on the
+    unbounded frame); the register max-agg collapses each micro-batch
+    map-side. The exact truth column joins from one batch pass after
+    the drain — at 100 TB you drop that join and trust the +-6.5%."""
+    from ..operators.dedup import _shingle_hash_rows as _shr
+    from .curation9 import _Q130_N, _hll_output
+
+    def op(df):
+        rows = _shr(
+            df.select("source", "text"), "source", "text", _Q130_N, id_type="string"
+        )
+        return _SK.hll_registers(rows.withColumnRenamed("doc", "source"), "source", "h")
+
+    regs = _stream_documents_closed(spark, sf_dir, op, "complete")
+    return _hll_output(spark, sf_dir, regs)
