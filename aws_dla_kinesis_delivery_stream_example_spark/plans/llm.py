@@ -1,8 +1,10 @@
 """LLM-data-pipeline queries (SURVEY.md §2.11): dedup, text analysis,
-similarity search over documents/embeddings. SQL-expressible variants
-carry a DuckDB oracle; hash-based ops (MinHash/SimHash — DuckDB can't
-reproduce xxhash64) are rows-only and instead verified against exact
-Jaccard in the pytest suite.
+similarity search over documents/embeddings. EVERY query here carries
+a full DuckDB hash oracle — the hash-based ops (MinHash/SimHash)
+migrated from xxhash64 to the portable md5-prefix lattice in round 5
+precisely so the oracle could reproduce them bit-for-bit (the
+``test_every_query_has_a_full_hash_oracle`` gate pins this); they are
+ADDITIONALLY verified against exact Jaccard in the pytest suite.
 """
 
 from __future__ import annotations

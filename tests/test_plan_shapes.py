@@ -257,6 +257,48 @@ def test_round9b_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
+def test_round10_exchange_budgets(spark):
+    """Round-10 additions (q127-q131 minus the streaming q129),
+    tree-walk budgets (staged subtrees excluded), measured + 1
+    headroom for AQE join swaps. Measured in round 11, AFTER the q127
+    scan-side rewrite."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # round-11 rewrite: top_bigram_n is a run-length fold over
+        # sort_array(bg) INSIDE the scan, so the catalog ORDER BY is
+        # the plan's ONLY exchange (measured 1; round 10's explode +
+        # (doc,bigram) count + re-fold shape measured 3 and was the
+        # slowest catalog query at sf0.1). A regression that
+        # reintroduces a corpus-sized bigram exchange blows this.
+        ("q127_gopher_repetition", 2),
+        # register max-agg (partials collapse to <=256 rows/source
+        # map-side) + exact-count agg + regroup + bcast join + sort
+        # over the staged shingle frame (measured 5); the exchange
+        # must carry registers, never shingles
+        ("q128_hll_distinct", 6),
+        # split sizes agg + shingle distinct + train-side distinct +
+        # left-semi join + contaminated agg + bcast join + sort
+        # (measured 7); the semi join is bounded by eval-split
+        # shingles — a regression that materializes train x eval
+        # pairs blows the no-cartesian gate first, this one second
+        ("q130_split_leakage", 8),
+        # per-doc bigram dedup is scan-side (array_distinct before
+        # explode); df agg + TakeOrdered(64) + 64-row bcast join back
+        # onto the staged frame + coverage agg + sort (measured 4);
+        # the boilerplate set join must stay broadcast
+        ("q131_boilerplate_coverage", 5),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""

@@ -285,3 +285,73 @@ def test_streaming_countmin_resume_from_checkpoint(spark, tmp_path):
     assert final == want and len(want) > 0
     # the resumed grid must strictly extend the pre-crash one
     assert sum(final.values()) > sum(partial.values())
+
+
+def test_streaming_hll_resume_from_checkpoint(spark, tmp_path):
+    """Round-10 verdict Next #5 (the q129 constant-state family member
+    that missed the round-10 discipline): kill the streaming HLL
+    between micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode register file must equal the batch-built one
+    bit-for-bit. A state reset would leave the restarted registers
+    reflecting only the second half — with max-idempotent state the
+    ONLY way to detect that is a batch whose second half adds new
+    registers, so b1 is deliberately a small slice (docs are planted,
+    each batch contributes disjoint shingle sets)."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import sketch
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+        _shingle_hash_rows,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # b1 = a thin slice (every 20th doc) so the register file is NOT
+    # yet saturated; b2 = the rest, guaranteed to add registers
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source", "text")
+    base.filter("doc_id % 20 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        regs = sketch.hll_registers(
+            _shingle_hash_rows(
+                stream.select("source", "text"), "source", "text", 5, id_type="string"
+            ).withColumnRenamed("doc", "source"),
+            "source",
+            "h",
+        )
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): r[2]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("hll_resume_1")
+    assert partial, "first drain built no registers"
+    base.filter("doc_id % 20 != 0").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("hll_resume_2")
+    want = {
+        (r[0], r[1]): r[2]
+        for r in sketch.hll_registers(
+            _shingle_hash_rows(docs, "source", "text", 5, id_type="string")
+            .withColumnRenamed("doc", "source"),
+            "source",
+            "h",
+        ).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed file must strictly extend the pre-crash one: b2 adds
+    # registers (and can only raise rho, never lower it)
+    assert len(final) > len(partial)
+    assert all(final[k] >= v for k, v in partial.items())
