@@ -594,3 +594,36 @@ def q129_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     regs = _stream_documents_closed(spark, sf_dir, op, "complete")
     return _hll_output(spark, sf_dir, regs)
+
+
+from .curation10 import HIST_ORACLE as _HIST_ORACLE  # noqa: E402 (plans/__init__ imports curation10 first)
+
+
+@query(
+    "q134_streaming_hist",
+    # identical oracle to q133: the stream's histogram state must
+    # equal the batch one row-for-row, so both folds agree
+    oracle=_HIST_ORACLE,
+    description="STREAMING log-binned histogram quantiles: the per-"
+    "source (bin, count) histogram maintained as streaming aggregation "
+    "state (complete mode, availableNow drain) — counts are linear "
+    "(commutative + associative), so any micro-batch split or partial-"
+    "agg merge order lands on the identical histogram, which then "
+    "folds to the same p25/p50/p75 estimates as the batch face (q133, "
+    "identical oracle — the q128/q129 convention)",
+    tags=("streaming", "sketch", "llm"),
+)
+def q134_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State is |sources| x ~60 (bin, count) rows — CONSTANT at any
+    ingest volume (the q113/q121/q129 constant-state family); the
+    binning projection runs scan-side inside the stream and each
+    micro-batch collapses map-side before touching state. Linear
+    counts are NOT idempotent, so at-least-once ingestion needs
+    upstream dedup (q51/q83) — same caveat as q113's grid, documented
+    rather than hidden. The exact-median truth column joins from one
+    batch pass after the drain; at 100 TB you drop it and keep only
+    histogram-sized state."""
+    from .curation10 import _hist_output, hist_documents
+
+    hist = _stream_documents_closed(spark, sf_dir, hist_documents, "complete")
+    return _hist_output(spark, sf_dir, hist)

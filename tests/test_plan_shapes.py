@@ -299,6 +299,38 @@ def test_round10_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
+def test_round11_exchange_budgets(spark):
+    """Round-11 additions (q132-q133; the streaming q134 drains a
+    stream, not a plan build), tree-walk budgets (staged subtrees
+    excluded), measured + 1 headroom for AQE join swaps."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # ALL nine exchanges are bench/bit-set-sized or broadcasts:
+        # 3 bit-projection distincts over the staged bench frame + 3
+        # broadcast ships of those <=2^16-row sets + the exact-marker
+        # broadcast + ONE probe-sized source agg + sort (measured 9).
+        # The probe stream itself must never shuffle before its agg —
+        # a regression that sort-merge-joins the corpus against the
+        # bench set blows this immediately.
+        ("q132_bloom_decontam", 10),
+        # histogram agg (collapses map-side to <=~60 rows/source) +
+        # ONE shared window pass over histogram rows + est agg + the
+        # exact-median doc window + broadcast join + sort (measured
+        # 5); only the histogram agg and the truth-column window are
+        # document-sized
+        ("q133_hist_quantiles", 6),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""

@@ -355,3 +355,52 @@ def test_streaming_hll_resume_from_checkpoint(spark, tmp_path):
     # registers (and can only raise rho, never lower it)
     assert len(final) > len(partial)
     assert all(final[k] >= v for k, v in partial.items())
+
+
+def test_streaming_hist_resume_from_checkpoint(spark, tmp_path):
+    """q134's histogram state joins the constant-state family WITH its
+    crash-resume evidence in the same round (the q129 lesson): kill
+    between micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode histogram must equal the batch-built one
+    row-for-row. Counts are linear, so a state reset shows up as the
+    second-half-only histogram and fails the bit-for-bit compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation10 import (
+        hist_documents,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, n_chars long"
+        ).parquet(src + "/b*")
+        q = (
+            hist_documents(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): r[2]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("hist_resume_1")
+    assert partial, "first drain built no histogram"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("hist_resume_2")
+    want = {(r[0], r[1]): r[2] for r in hist_documents(docs).collect()}
+    assert final == want and len(want) > 0
+    # the resumed histogram strictly extends the pre-crash one
+    assert sum(final.values()) > sum(partial.values())
