@@ -179,6 +179,75 @@ def _shingle_hash_rows(
     )
 
 
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    mask: int = 32,
+) -> DataFrame:
+    """(doc, chunk_hash, chunk_len) content-defined chunks: a chunk
+    boundary falls AFTER token j whenever the rolling ``window``-gram
+    ending at j hashes to 0 mod ``mask`` (gear/Rabin-style CDC on the
+    word stream), so an insertion only re-chunks its local
+    neighborhood — unlike fixed-stride chunking (q103), where one
+    inserted token shifts every downstream chunk and defeats dedup.
+    Expected chunk length ~``mask`` tokens; a doc shorter than the
+    window is one whole-doc chunk (boundaries need a full window).
+
+    Arrow-batched Python for the same reason as _shingle_hash_rows:
+    tokenize + window-hash + segment + chunk-hash in one pass per
+    batch beats interpreted array expressions. The chunk hash is the
+    house 60-bit md5 prefix of the space-joined chunk tokens, so
+    DuckDB reproduces every boundary and every chunk key bit-for-bit
+    (string_agg over the same cumulative-cut-count chunk ids)."""
+    from ..shipping import ensure_shipped
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import pandas as _pd
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out_doc, out_h, out_len = [], [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                toks = tok_re.findall(text.lower())
+                if not toks:
+                    continue
+                start = 0
+                for j in range(window, len(toks)):
+                    # boundary after token j (1-based: window ends at
+                    # j) <=> hash of toks[j-window:j] = 0 mod mask;
+                    # the LAST token never cuts (an empty tail chunk
+                    # cannot exist in either engine's formulation)
+                    w = " ".join(toks[j - window : j])
+                    hw = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    if hw % mask == 0:
+                        chunk = " ".join(toks[start:j])
+                        out_doc.append(doc)
+                        out_h.append(
+                            int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16)
+                        )
+                        out_len.append(j - start)
+                        start = j
+                chunk = " ".join(toks[start:])
+                out_doc.append(doc)
+                out_h.append(int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16))
+                out_len.append(len(toks) - start)
+            yield _pd.DataFrame(
+                {"doc": out_doc, "chunk_hash": out_h, "chunk_len": out_len}
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(run, "doc long, chunk_hash long, chunk_len long")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 5
 ) -> DataFrame:

@@ -353,3 +353,121 @@ def q133_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q134 proves it bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
     return _hist_output(spark, sf_dir, hist_documents(docs))
+
+
+# q135 CDC geometry: 4-token rolling windows, boundary when the window
+# hash = 0 mod 32 -> ~32-token expected chunks. Cross-doc duplicate =
+# chunk shared by >= 2 DISTINCT docs (intra-doc repeats are q72/q127's
+# axis, not this one).
+_CDC_WIN = 4
+_CDC_MASK = 32
+
+
+@query(
+    "q135_cdc_chunk_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, tk, len(tk) AS L, p, tk[p] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS t(p)
+            WHERE len(tk) >= 1
+        ),
+        flagged AS (
+            SELECT doc_id, p, tok,
+                   CASE WHEN p >= {_CDC_WIN} AND p < L
+                             AND CAST('0x' || substring(md5(array_to_string(
+                                     array_slice(tk, p - {_CDC_WIN - 1}, p), ' ')
+                                 ), 1, 15) AS BIGINT) % {_CDC_MASK} = 0
+                        THEN 1 ELSE 0 END AS cut
+            FROM pos
+        ),
+        assigned AS (
+            SELECT doc_id, p, tok,
+                   1 + coalesce(sum(cut) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS chunk
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, chunk,
+                   CAST('0x' || substring(md5(string_agg(tok, ' ' ORDER BY p)),
+                                          1, 15) AS BIGINT) AS chunk_hash,
+                   CAST(count(*) AS BIGINT) AS chunk_len
+            FROM assigned GROUP BY doc_id, chunk
+        ),
+        cdf AS (
+            SELECT chunk_hash, count(DISTINCT doc_id) AS df
+            FROM chunks GROUP BY chunk_hash
+        ),
+        per AS (
+            SELECT c.doc_id,
+                   CAST(sum(c.chunk_len) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_chunks,
+                   CAST(sum(CASE WHEN f.df >= 2 THEN c.chunk_len ELSE 0 END)
+                        AS BIGINT) AS dup_tokens
+            FROM chunks c JOIN cdf f USING (chunk_hash)
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, n_tokens, n_chunks, dup_chunks, dup_tokens,
+               CAST(1000 * dup_tokens // n_tokens AS BIGINT) AS dup_milli
+        FROM per
+        ORDER BY doc_id
+    """,
+    description="Content-defined chunking dedup audit: gear/Rabin-"
+    "style variable chunk boundaries (4-token rolling window, cut at "
+    "hash = 0 mod 32, ~32-token chunks) so an inserted token only "
+    "re-chunks its neighborhood — the insertion-robust complement to "
+    "q103's fixed-stride chunks, whose every downstream boundary "
+    "shifts; per doc: chunks shared with >= 2 docs and the duplicated "
+    "token share (milli)",
+    tags=("llm", "dedup", "text"),
+)
+def q135_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: chunking is one Arrow-batched scan pass
+    (operators/dedup.py::cdc_chunk_rows — tokenize, window-hash,
+    segment, chunk-hash per batch); the chunk-hash df agg and the
+    join-back are co-partitioned on the SAME 60-bit key, so the
+    corpus crosses one key exchange (+ the reused sides), then one
+    doc agg + the catalog sort. The join-back (not collect_list
+    re-explode) keeps a viral boilerplate chunk with df in the
+    millions from materializing as one task's list blob — the q103
+    skew discipline. State per chunk is O(1)."""
+    from ..operators.dedup import cdc_chunk_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = stage(
+        cdc_chunk_rows(
+            docs.select("doc_id", "text"), "doc_id", "text", _CDC_WIN, _CDC_MASK
+        )
+    )  # staged: the df agg and the join-back probe read it once each
+    cdf = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc").cast("long").alias("df")
+    )
+    per = (
+        chunks.join(cdf, "chunk_hash")
+        .groupBy("doc")
+        .agg(
+            F.sum("chunk_len").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.sum(F.when(F.col("df") >= 2, F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_chunks",
+        "dup_chunks",
+        "dup_tokens",
+        F.expr("1000 * dup_tokens div n_tokens").cast("long").alias("dup_milli"),
+    ).orderBy("doc_id")

@@ -322,6 +322,13 @@ def test_round11_exchange_budgets(spark):
         # 5); only the histogram agg and the truth-column window are
         # document-sized
         ("q133_hist_quantiles", 6),
+        # chunk-hash df agg + join-back over the staged chunk frame
+        # (co-partitioned on the SAME key) + doc agg + sort (measured
+        # 5); a regression that collect_list-explodes per chunk hash
+        # (the viral-boilerplate skew blob) changes the shape and
+        # should be caught in review — this pin catches the cheaper
+        # failure of an extra corpus re-shuffle
+        ("q135_cdc_chunk_dedup", 6),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

@@ -1,5 +1,5 @@
 """Planted-positive fixtures for the round-11 catalog additions
-(q132-q134) — landed WITH the additions, per the round-10 verdict's
+(q132-q135) — landed WITH the additions, per the round-10 verdict's
 evidence-kit invariant (planted tests + budget pins + local 2-SF
 artifacts in the same round as the queries).
 
@@ -206,3 +206,86 @@ def test_q134_streaming_histogram_equals_batch(spark, hist_sf_dir):
     identical hand-computed rows (the q128/q129 convention: stream
     state is just another route to the same sketch)."""
     _check_hist_rows(SPECS["q134_streaming_hist"].spark(spark, hist_sf_dir).collect())
+
+
+# ---------------------------------------------------------------- q135
+
+# Offline-verified CDC geometry: the 4-gram window "cw4 aa bb cc"
+# hashes to 0 mod 32 (fires); every other window in the planted docs
+# does not. Doc E is doc A with ONE token prepended — the insertion-
+# robustness positive: the cut re-anchors on the same content window,
+# so the tail chunk "y1 y2" still dedups across A/B/E (fixed-stride
+# chunking would shift every downstream boundary and lose it).
+_CDC_A = "x1 x2 x3 cw4 aa bb cc y1 y2"
+
+
+@pytest.fixture(scope="module")
+def cdc_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("cdc_sf")
+    return _write_documents(
+        d,
+        [
+            (1, _CDC_A, "en", "web", None),
+            (2, "y1 y2", "en", "web", None),  # = A's tail chunk
+            (3, "zz1 zz2 zz3", "en", "web", None),  # unique, no window
+            (4, "w0 " + _CDC_A, "en", "web", None),  # A + 1 inserted token
+        ],
+    )
+
+
+def test_q135_cut_window_fires():
+    """The planted cut window (and ONLY it) fires mod 32 — re-derived
+    from raw md5 so a hash or mask change fails loudly here first."""
+    toks = ("w0 " + _CDC_A).split()
+    fired = [
+        " ".join(toks[p - 4 : p])
+        for p in range(4, len(toks))
+        if _h60(" ".join(toks[p - 4 : p])) % 32 == 0
+    ]
+    assert fired == ["cw4 aa bb cc"]
+
+
+def test_q135_planted_cdc_chunks(spark, cdc_sf_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in SPECS["q135_cdc_chunk_dedup"].spark(spark, cdc_sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    # A: chunks "x1..cc"(7, unique) + "y1 y2"(2, df=3)
+    assert rows[1] == {
+        "doc_id": 1,
+        "n_tokens": 9,
+        "n_chunks": 2,
+        "dup_chunks": 1,
+        "dup_tokens": 2,
+        "dup_milli": 222,  # 1000*2 div 9
+    }
+    # B: one whole-doc chunk, shared
+    assert rows[2] == {
+        "doc_id": 2,
+        "n_tokens": 2,
+        "n_chunks": 1,
+        "dup_chunks": 1,
+        "dup_tokens": 2,
+        "dup_milli": 1000,
+    }
+    # D: too short for any window -> one unique chunk
+    assert rows[3] == {
+        "doc_id": 3,
+        "n_tokens": 3,
+        "n_chunks": 1,
+        "dup_chunks": 0,
+        "dup_tokens": 0,
+        "dup_milli": 0,
+    }
+    # E (insertion): head chunk grew by the inserted token (unique),
+    # tail chunk STILL dedups — the whole point of content-defined
+    # boundaries
+    assert rows[4] == {
+        "doc_id": 4,
+        "n_tokens": 10,
+        "n_chunks": 2,
+        "dup_chunks": 1,
+        "dup_tokens": 2,
+        "dup_milli": 200,
+    }
