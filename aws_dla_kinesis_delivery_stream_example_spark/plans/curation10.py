@@ -50,6 +50,78 @@ def _bloom_pos(h, shift: int):
     return (w % _BLOOM_BITS).cast("long")
 
 
+def bloom_bits(spark: SparkSession, sf_dir: str):
+    """(bench_h staged frame, [bits1, bits2, bits3] broadcast frames)
+    — the static side of the decontamination gate, shared by the
+    batch (q132) and streaming (q136) faces. Each bits frame is at
+    most 2^16 rows regardless of bench size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_h = stage(
+        _shingle_hash_rows(
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0).select("doc_id", "text"),
+            "doc_id",
+            "text",
+            _BLOOM_N,
+        )
+        .select("h")
+        .distinct()
+    )  # staged: three bit projections + the exact marker read it
+    bits = [
+        F.broadcast(
+            bench_h.select(_bloom_pos("h", s).alias(f"p{i}"))
+            .distinct()
+            .withColumn(f"_b{i}", F.lit(1))
+        )
+        for i, s in ((1, 0), (2, 22), (3, 44))
+    ]
+    return bench_h, bits
+
+
+def bloom_flag_probes(probe: DataFrame, bench_h: DataFrame, bits) -> DataFrame:
+    """(source, bloom_hit, exact_hit) rows from (source, h) probe
+    shingles: three broadcast LEFT joins against the bit sets + the
+    exact-marker broadcast — the probe stream never shuffles here."""
+    withpos = probe.select(
+        "source",
+        "h",
+        _bloom_pos("h", 0).alias("p1"),
+        _bloom_pos("h", 22).alias("p2"),
+        _bloom_pos("h", 44).alias("p3"),
+    )
+    return (
+        withpos.join(bits[0], "p1", "left")
+        .join(bits[1], "p2", "left")
+        .join(bits[2], "p3", "left")
+        .join(F.broadcast(bench_h.withColumn("_ex", F.lit(1))), "h", "left")
+        .select(
+            "source",
+            (
+                F.col("_b1").isNotNull()
+                & F.col("_b2").isNotNull()
+                & F.col("_b3").isNotNull()
+            ).alias("bloom_hit"),
+            F.col("_ex").isNotNull().alias("exact_hit"),
+        )
+    )
+
+
+def bloom_finalize(agg: DataFrame) -> DataFrame:
+    """(source, n_shingles, bloom_pos, exact_pos) -> the q132/q136
+    output columns (false positives + realized FPR in milli)."""
+    return agg.select(
+        "source",
+        "n_shingles",
+        "bloom_pos",
+        "exact_pos",
+        (F.col("bloom_pos") - F.col("exact_pos")).alias("false_pos"),
+        F.expr(
+            "1000 * (bloom_pos - exact_pos) div nullif(n_shingles - exact_pos, 0)"
+        )
+        .cast("long")
+        .alias("fpr_milli"),
+    ).orderBy("source")
+
+
 @query(
     "q132_bloom_decontam",
     oracle=f"""
@@ -116,55 +188,15 @@ def q132_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     own bits), so false_pos is non-negative by construction and the
     fpr denominator (true negatives + false positives) is exact."""
     docs = load_table(spark, sf_dir, "documents")
-    bench_pred = F.col("doc_id") % _BENCH_MOD == 0
-    bench_h = stage(
-        _shingle_hash_rows(
-            docs.filter(bench_pred).select("doc_id", "text"),
-            "doc_id",
-            "text",
-            _BLOOM_N,
-        )
-        .select("h")
-        .distinct()
-    )  # staged: three bit projections + the exact marker read it
-    bits = [
-        F.broadcast(
-            bench_h.select(_bloom_pos("h", s).alias(f"p{i}"))
-            .distinct()
-            .withColumn(f"_b{i}", F.lit(1))
-        )
-        for i, s in ((1, 0), (2, 22), (3, 44))
-    ]
+    bench_h, bits = bloom_bits(spark, sf_dir)
     probe = _shingle_hash_rows(
-        docs.filter(~bench_pred).select("source", "text"),
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select("source", "text"),
         "source",
         "text",
         _BLOOM_N,
         id_type="string",
-    ).select(
-        F.col("doc").alias("source"),
-        "h",
-        _bloom_pos("h", 0).alias("p1"),
-        _bloom_pos("h", 22).alias("p2"),
-        _bloom_pos("h", 44).alias("p3"),
-    )
-    flagged = (
-        probe.join(bits[0], "p1", "left")
-        .join(bits[1], "p2", "left")
-        .join(bits[2], "p3", "left")
-        .join(
-            F.broadcast(bench_h.withColumn("_ex", F.lit(1))), "h", "left"
-        )
-        .select(
-            "source",
-            (
-                F.col("_b1").isNotNull()
-                & F.col("_b2").isNotNull()
-                & F.col("_b3").isNotNull()
-            ).alias("bloom_hit"),
-            F.col("_ex").isNotNull().alias("exact_hit"),
-        )
-    )
+    ).withColumnRenamed("doc", "source")
+    flagged = bloom_flag_probes(probe, bench_h, bits)
     agg = flagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
@@ -174,18 +206,7 @@ def q132_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_pos"),
     )
-    return agg.select(
-        "source",
-        "n_shingles",
-        "bloom_pos",
-        "exact_pos",
-        (F.col("bloom_pos") - F.col("exact_pos")).alias("false_pos"),
-        F.expr(
-            "1000 * (bloom_pos - exact_pos) div nullif(n_shingles - exact_pos, 0)"
-        )
-        .cast("long")
-        .alias("fpr_milli"),
-    ).orderBy("source")
+    return bloom_finalize(agg)
 
 
 # --------------------------------------------------------------- q133
