@@ -41,15 +41,15 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-11 window shift (README §Rotation; round-10 verdict Next
-    # #6): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q127..q131 +
-    # q32..q35 + q37..q58 + q77..q95 FIRST so the driver's 50-entry
-    # correctness window earns hard rows for the 5 round-10 additions
-    # (never driver-verified) while refreshing the 26 oldest r7/r8
-    # rows and the 19 oldest r9 rows. The tail is in NUMERIC query
+    # Round-12 window shift (README §Rotation; round-11 verdict Next
+    # #1): exposed names are the canonical catalog names, but
+    # insertion order puts the EXPLICIT window list q132..q135 +
+    # q59..q76 + q96..q108 + q01..q15 FIRST so the driver's 50-entry
+    # correctness window earns hard rows for the 4 round-11 additions
+    # (never driver-verified) while refreshing the 31 oldest r9 rows
+    # and 15 of the oldest r10 rows. The tail is in NUMERIC query
     # order (lexicographic would slot q100 between q10 and q11). No
-    # aNN aliases. Round-11 additions (q132+) sort after the window.
+    # aNN aliases. Round-12 additions (q136+) sort after the window.
     # The sort key is the entry module's own (one source of truth);
     # the window invariant is asserted independently below.
     import re as _re
@@ -64,17 +64,17 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(127, 132))
-        + list(range(32, 36))
-        + list(range(37, 59))
-        + list(range(77, 96))
+        list(range(132, 136))
+        + list(range(59, 77))
+        + list(range(96, 109))
+        + list(range(1, 16))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-11 window (an EXPLICIT bounded list, so mid-round catalog
-    # additions q132+ cannot silently evict its tail).
+    # round-12 window (an EXPLICIT bounded list, so mid-round catalog
+    # additions q136+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q127..q131 + q32..q35 + q37..q58 + q77..q95"
+        "driver window is not q132..q135 + q59..q76 + q96..q108 + q01..q15"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"
