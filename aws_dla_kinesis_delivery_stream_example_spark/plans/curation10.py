@@ -20,6 +20,8 @@ DuckDB reproduces the positions with plain shifts.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,8 +55,8 @@ def _bloom_pos(h, shift: int):
 def bloom_bits(spark: SparkSession, sf_dir: str):
     """(bench_h staged frame, [bits1, bits2, bits3] broadcast frames)
     — the static side of the decontamination gate, shared by the
-    batch (q132) and streaming (q136) faces. Each bits frame is at
-    most 2^16 rows regardless of bench size."""
+    batch (q132) face and any streaming face built on it. Each bits
+    frame is at most 2^16 rows regardless of bench size."""
     docs = load_table(spark, sf_dir, "documents")
     bench_h = stage(
         _shingle_hash_rows(
@@ -266,18 +268,29 @@ HIST_ORACLE = """
 """
 
 
-def _hist_bin(v) -> F.Column:
+def _hist_bin(v: str) -> F.Column:
     """Log-binned histogram bin id: 4 sub-bins per octave, exact
     integer math in BOTH engines (floor(log2 v) = length(bin(v)) - 1;
-    neither engine zero-pads bin() — the q128 precedent)."""
-    col = F.col(v) if isinstance(v, str) else v
-    e = (F.length(F.bin(col)) - 1).cast("int")
+    neither engine zero-pads bin() — the q128 precedent).
+
+    ``v`` must be a simple column NAME (it is interpolated into the
+    SQL sub-bin expression — ``div``/variable-shift have no Column-API
+    spelling, so a Column object cannot be threaded through; the old
+    signature silently binned on the literal column 'v' whatever was
+    passed — round-11 ADVICE finding #2)."""
+    if not isinstance(v, str) or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v):
+        raise TypeError(f"_hist_bin needs a simple column name, got {v!r}")
+    e = (F.length(F.bin(F.col(v))) - 1).cast("int")
     sub = F.expr(
-        "4 * v div shiftleft(cast(1 as bigint), cast(length(bin(v)) - 1 as int))"
+        f"4 * {v} div shiftleft(cast(1 as bigint),"
+        f" cast(length(bin({v})) - 1 as int))"
     ) - F.lit(4)
     return (F.lit(4) * e.cast("long") + sub.cast("long")).alias("bin")
 
 
+# Bin lower bound, as a SQL fragment over a frame that MUST expose the
+# histogram bin id as a column literally named `bin` (hist_documents'
+# output alias — same no-Column-API-spelling constraint as _hist_bin).
 _HIST_LO = (
     "(4 + bin % 4) * shiftleft(cast(1 as bigint), cast(bin div 4 as int)) div 4"
 )
