@@ -79,10 +79,16 @@ def bloom_bits(spark: SparkSession, sf_dir: str):
     return bench_h, bits
 
 
-def bloom_flag_probes(probe: DataFrame, bench_h: DataFrame, bits) -> DataFrame:
-    """(source, bloom_hit, exact_hit) rows from (source, h) probe
-    shingles: three broadcast LEFT joins against the bit sets + the
-    exact-marker broadcast — the probe stream never shuffles here."""
+def bloom_flag_probes(
+    probe: DataFrame, bench_h: DataFrame, bits, exact: bool = True
+) -> DataFrame:
+    """(source, bloom_hit[, exact_hit]) rows from (source, h) probe
+    shingles: three broadcast LEFT joins against the bit sets, plus —
+    only when ``exact`` — the exact-marker broadcast truth column.
+    The probe stream never shuffles here. ``exact=False`` is the
+    100 TB mode: the bench-sized ``bench_h`` broadcast never ships
+    (it is still consumed once, executor-side, to BUILD the bit
+    sets); only the three fixed 2^16-bit sets do."""
     withpos = probe.select(
         "source",
         "h",
@@ -90,21 +96,21 @@ def bloom_flag_probes(probe: DataFrame, bench_h: DataFrame, bits) -> DataFrame:
         _bloom_pos("h", 22).alias("p2"),
         _bloom_pos("h", 44).alias("p3"),
     )
-    return (
+    flagged = (
         withpos.join(bits[0], "p1", "left")
         .join(bits[1], "p2", "left")
         .join(bits[2], "p3", "left")
-        .join(F.broadcast(bench_h.withColumn("_ex", F.lit(1))), "h", "left")
-        .select(
-            "source",
-            (
-                F.col("_b1").isNotNull()
-                & F.col("_b2").isNotNull()
-                & F.col("_b3").isNotNull()
-            ).alias("bloom_hit"),
-            F.col("_ex").isNotNull().alias("exact_hit"),
-        )
     )
+    bloom_hit = (
+        F.col("_b1").isNotNull()
+        & F.col("_b2").isNotNull()
+        & F.col("_b3").isNotNull()
+    ).alias("bloom_hit")
+    if not exact:
+        return flagged.select("source", bloom_hit)
+    return flagged.join(
+        F.broadcast(bench_h.withColumn("_ex", F.lit(1))), "h", "left"
+    ).select("source", bloom_hit, F.col("_ex").isNotNull().alias("exact_hit"))
 
 
 def bloom_finalize(agg: DataFrame) -> DataFrame:
@@ -191,14 +197,7 @@ def q132_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpr denominator (true negatives + false positives) is exact."""
     docs = load_table(spark, sf_dir, "documents")
     bench_h, bits = bloom_bits(spark, sf_dir)
-    probe = _shingle_hash_rows(
-        docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select("source", "text"),
-        "source",
-        "text",
-        _BLOOM_N,
-        id_type="string",
-    ).withColumnRenamed("doc", "source")
-    flagged = bloom_flag_probes(probe, bench_h, bits)
+    flagged = bloom_flag_probes(_bloom_probe(docs), bench_h, bits)
     agg = flagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
@@ -209,6 +208,47 @@ def q132_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_pos"),
     )
     return bloom_finalize(agg)
+
+
+def _bloom_probe(docs: DataFrame) -> DataFrame:
+    """(source, h) probe shingles: every non-bench doc's distinct
+    4-shingle hashes, keyed by source — shared by q132 and its
+    truth-column-free scale mode so the two probe exactly the same
+    universe."""
+    return _shingle_hash_rows(
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select("source", "text"),
+        "source",
+        "text",
+        _BLOOM_N,
+        id_type="string",
+    ).withColumnRenamed("doc", "source")
+
+
+def bloom_decontam_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q132's at-scale mode, executable (round-11 verdict Next #6):
+    the SAME bloom gate with the exact truth column dropped — the one
+    bench-sized broadcast in q132's plan never ships; only the three
+    fixed 8 KiB bit sets reach the probe stream. Output: (source,
+    n_shingles, bloom_pos), column-for-column equal to q132's first
+    three columns (planted test test_round12_planted.py pins the
+    equality, so the scale mode cannot drift from the audited one).
+
+    Library entry point, NOT a catalog query: at bench/test SFs the
+    measured-FPR face (q132) is strictly more informative; this
+    exists so the 100 TB deployment story is code, not narration."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_h, bits = bloom_bits(spark, sf_dir)
+    flagged = bloom_flag_probes(_bloom_probe(docs), bench_h, bits, exact=False)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_pos"),
+        )
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------- q133
