@@ -55,8 +55,8 @@ def _bloom_pos(h, shift: int):
 def bloom_bits(spark: SparkSession, sf_dir: str):
     """(bench_h staged frame, [bits1, bits2, bits3] broadcast frames)
     — the static side of the decontamination gate, shared by the
-    batch (q132) face and any streaming face built on it. Each bits
-    frame is at most 2^16 rows regardless of bench size."""
+    batch (q132) and streaming (q136) faces. Each bits frame is at
+    most 2^16 rows regardless of bench size."""
     docs = load_table(spark, sf_dir, "documents")
     bench_h = stage(
         _shingle_hash_rows(
@@ -113,6 +113,23 @@ def bloom_flag_probes(
     ).select("source", bloom_hit, F.col("_ex").isNotNull().alias("exact_hit"))
 
 
+def bloom_counters(flagged: DataFrame) -> DataFrame:
+    """(source, n_shingles, bloom_pos, exact_pos) counters from the
+    flagged probe rows — the shared batch/stream state builder. All
+    three counters are linear, so partial aggregation collapses every
+    task (or micro-batch) to one row per source before the exchange,
+    and shard/stream folds land on the identical counters."""
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("bloom_pos"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_pos"),
+    )
+
+
 def bloom_finalize(agg: DataFrame) -> DataFrame:
     """(source, n_shingles, bloom_pos, exact_pos) -> the q132/q136
     output columns (false positives + realized FPR in milli)."""
@@ -130,9 +147,11 @@ def bloom_finalize(agg: DataFrame) -> DataFrame:
     ).orderBy("source")
 
 
-@query(
-    "q132_bloom_decontam",
-    oracle=f"""
+# Shared by q132 (batch) and q136 (streaming): the stream's per-source
+# (n_shingles, bloom_pos, exact_pos) counters must equal the batch ones
+# row-for-row, so both faces finalize to the same FPR columns —
+# identical oracle, the q133/q134 convention.
+BLOOM_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, source,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
@@ -172,7 +191,12 @@ def bloom_finalize(agg: DataFrame) -> DataFrame:
                     // nullif(n_shingles - exact_pos, 0) AS BIGINT) AS fpr_milli
         FROM agg
         ORDER BY source
-    """,
+"""
+
+
+@query(
+    "q132_bloom_decontam",
+    oracle=BLOOM_ORACLE,
     description="Bloom-filter benchmark decontamination (m=2^16 bits, "
     "k=3 probes from disjoint windows of the house 60-bit hash) with "
     "the exact semi-join as an in-plan truth column: per source, how "
@@ -198,16 +222,7 @@ def q132_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench_h, bits = bloom_bits(spark, sf_dir)
     flagged = bloom_flag_probes(_bloom_probe(docs), bench_h, bits)
-    agg = flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
-        .cast("long")
-        .alias("bloom_pos"),
-        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
-        .cast("long")
-        .alias("exact_pos"),
-    )
-    return bloom_finalize(agg)
+    return bloom_finalize(bloom_counters(flagged))
 
 
 def _bloom_probe(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,209 @@
+"""Round-12 batch additions (q137): sketch-based cross-source overlap.
+
+q137 estimates every source pair's distinct-5-shingle intersection by
+inclusion-exclusion over HyperLogLog-256 register files — |A ∩ B| ≈
+est(A) + est(B) - est(A ∪ B), where the union estimate comes from a
+pairwise register MAX-merge (HLLs are mergeable: max per register IS
+the union sketch, exactly). q106 answers the same "which sources copy
+from which" question exactly, but its per-shingle source-set fold
+walks every corpus shingle; q137 is its 100 TB path — after the one
+shingling pass that q128 already pays, everything downstream is
+sketch-sized (|sources| x 256 registers, then |pairs| x 256 merged
+rows), so the pairwise audit costs the same whether the corpus is
+60k docs or 100 TB. The exact intersection rides along as the truth
+column (the q128/q132/q133 discipline: approximation error is
+MEASURED in milli, not assumed) and is the one corpus-sized join you
+drop at scale.
+
+Conventions follow catalog.py: identical column aliases both sides,
+total ORDER BY, BIGINT casts, the house 60-bit md5-prefix hash and
+the q128 register/rank lattice (FIXTURES.md), so the sketch itself is
+hash-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketch as SK
+from ..operators.staging import stage
+from .catalog import query
+from .curation9 import _HLL_EST_SQL, _Q130_N, _source_shingles
+
+# The union register fold re-states q128's exact integer fold (each
+# register contributes 2^(53-rho), empty registers 2^53) over the
+# pair-merged file; shared here so uper/per cannot drift apart.
+_HLL_FOLD_SQL = """
+    count(*) AS n_hit,
+    CAST(sum(CAST(1 AS BIGINT) << (53 - rho))
+         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+        AS hll_sum_scaled
+"""
+
+
+@query(
+    "q137_hll_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   CAST('0x' || substring(md5(
+                       array_to_string(array_slice(tk, i, i + {_Q130_N - 1}), ' ')
+                   ), 1, 15) AS BIGINT) AS h
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(tk) - {_Q130_N - 1}, 0))) AS t(i)
+        ),
+        regs AS (
+            SELECT source, h % 256 AS register,
+                   max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+                            ELSE 53 END) AS rho
+            FROM sh GROUP BY source, h % 256
+        ),
+        per AS (
+            SELECT source, {_HLL_FOLD_SQL}
+            FROM regs GROUP BY source
+        ),
+        est AS (SELECT source, {_HLL_EST_SQL} AS hll_est FROM per),
+        srcs AS (SELECT DISTINCT source FROM sh),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        uregs AS (
+            SELECT p.src_a, p.src_b, r.register, max(r.rho) AS rho
+            FROM pairs p JOIN regs r
+              ON r.source = p.src_a OR r.source = p.src_b
+            GROUP BY 1, 2, 3
+        ),
+        uper AS (
+            SELECT src_a, src_b, {_HLL_FOLD_SQL}
+            FROM uregs GROUP BY src_a, src_b
+        ),
+        uest AS (SELECT src_a, src_b, {_HLL_EST_SQL} AS est_union FROM uper),
+        ex AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS exact_inter
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT u.src_a, u.src_b,
+                   ea.hll_est AS est_a, eb.hll_est AS est_b, u.est_union,
+                   greatest(ea.hll_est + eb.hll_est - u.est_union,
+                            CAST(0 AS BIGINT)) AS est_inter,
+                   coalesce(x.exact_inter, CAST(0 AS BIGINT)) AS exact_inter
+            FROM uest u
+            JOIN est ea ON ea.source = u.src_a
+            JOIN est eb ON eb.source = u.src_b
+            LEFT JOIN ex x ON x.src_a = u.src_a AND x.src_b = u.src_b
+        )
+        SELECT src_a, src_b,
+               CAST(est_a AS BIGINT) AS est_a,
+               CAST(est_b AS BIGINT) AS est_b,
+               CAST(est_union AS BIGINT) AS est_union,
+               CAST(est_inter AS BIGINT) AS est_inter,
+               exact_inter,
+               CAST(1000 * abs(est_inter - exact_inter)
+                    // nullif(exact_inter, 0) AS BIGINT) AS err_milli
+        FROM j
+        ORDER BY src_a, src_b
+    """,
+    description="HLL inclusion-exclusion cross-source overlap: every "
+    "source pair's distinct-5-shingle intersection estimated as "
+    "est(A) + est(B) - est(A union B), the union sketch being the "
+    "pairwise register MAX-merge (HLLs merge exactly under max), "
+    "against the exact intersection truth column with the realized "
+    "error (milli) — q106's exact duplication matrix re-costed so the "
+    "pairwise audit is sketch-sized (|sources| x 256 registers) at "
+    "any corpus size",
+    tags=("llm", "sketch", "dedup", "audit"),
+)
+def q137_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE Arrow-batched shingling pass (staged — the
+    register fold and the exact truth column read it once each); the
+    register max-agg collapses map-side to <= 256 rows per source
+    before its exchange (q128's discipline), and EVERYTHING pairwise
+    is sketch-sized: the register file joins a broadcast pair list
+    (|sources|^2/2 rows — a schema constant, not data) and re-folds
+    at |pairs| x 256. No corpus-sized self-join anywhere except the
+    exact truth column (sh JOIN sh ON h, co-partitioned on the 60-bit
+    key) — the one piece you drop at 100 TB, leaving register-only
+    cost. The registers are the SAME file q128 maintains (and q129
+    streams), so in production this is a free rider on existing
+    sketch state: union-merge is max per register, which is also why
+    daily shards fold without rescanning."""
+    sh = stage(_source_shingles(spark, sf_dir))
+    # staged: the register fold and the exact intersection read it
+    # once each (sh is distinct (source, h) — doc carries the source)
+    regs = stage(
+        SK.hll_registers(sh.withColumnRenamed("doc", "source"), "source", "h")
+    )  # staged: the per-source estimate and the pair merge read it
+    est = SK.hll_estimate(regs, "source").select("source", "hll_est")
+
+    srcs = regs.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("src_a")).join(
+        F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
+    )
+    # pair-merged union registers: max per register IS the union HLL
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (regs["source"] == F.col("src_a"))
+            | (regs["source"] == F.col("src_b")),
+        )
+        .groupBy(
+            F.struct("src_a", "src_b").alias("pg"), F.col("register")
+        )
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+    uest = SK.hll_estimate(merged, "pg").select(
+        F.col("pg.src_a").alias("src_a"),
+        F.col("pg.src_b").alias("src_b"),
+        F.col("hll_est").alias("est_union"),
+    )
+
+    sa = sh.select(F.col("doc").alias("src_a"), "h")
+    sb = sh.select(F.col("doc").alias("src_b"), "h")
+    exact = (
+        sa.join(sb, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+
+    ea = est.select(F.col("source").alias("src_a"), F.col("hll_est").alias("est_a"))
+    eb = est.select(F.col("source").alias("src_b"), F.col("hll_est").alias("est_b"))
+    return (
+        uest.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(F.broadcast(exact), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            F.col("est_union").cast("long").alias("est_union"),
+            F.greatest(
+                F.expr("est_a + est_b - est_union"), F.lit(0)
+            )
+            .cast("long")
+            .alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
+        )
+        .withColumn(
+            "err_milli",
+            F.expr(
+                "1000 * abs(est_inter - exact_inter)"
+                " div nullif(exact_inter, 0)"
+            ).cast("long"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -627,3 +627,54 @@ def q134_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = _stream_documents_closed(spark, sf_dir, hist_documents, "complete")
     return _hist_output(spark, sf_dir, hist)
+
+
+from .curation10 import BLOOM_ORACLE as _BLOOM_ORACLE  # noqa: E402 (plans/__init__ imports curation10 first)
+
+
+@query(
+    "q136_streaming_bloom",
+    # identical oracle to q132: the stream's per-source counters must
+    # equal the batch ones row-for-row, so both finalize identically
+    oracle=_BLOOM_ORACLE,
+    description="STREAMING bloom-filter decontamination: probe "
+    "documents stream through the q132 bloom gate (three fixed 2^16-"
+    "bit sets, STATIC broadcast sides of stream-static joins) and the "
+    "per-source hit counters are maintained as streaming aggregation "
+    "state (complete mode, availableNow drain) — the counters the "
+    "stream leaves behind must equal the batch face's row-for-row "
+    "(q132, identical oracle — the q133/q134 convention), because all "
+    "three are linear aggregates over a per-shingle projection",
+    tags=("streaming", "sketch", "llm"),
+)
+def q136_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate an INGESTING crawl actually runs: flag
+    contaminated shingles as documents arrive, not in a nightly batch.
+    State is |sources| x 3 counters — CONSTANT at any ingest volume
+    (the q113/q121/q129/q134 constant-state family) and the smallest
+    member yet; the bloom bit sets ride the micro-batches as static
+    broadcast joins (8 KiB x 3 regardless of bench size), so the
+    stream side never shuffles before its one counter agg. Shingling
+    runs Arrow-batched INSIDE the stream (the q129 pattern). Linear
+    counts are NOT idempotent, so at-least-once ingestion needs
+    upstream dedup (q51/q83) — q134's documented caveat. The exact
+    truth column (bench_h broadcast) is part of the audit face; at
+    100 TB you run the bloom_decontam_scale projection instead and
+    drop it."""
+    from .curation10 import (
+        _bloom_probe,
+        bloom_bits,
+        bloom_counters,
+        bloom_finalize,
+        bloom_flag_probes,
+    )
+
+    bench_h, bits = bloom_bits(spark, sf_dir)
+
+    def op(df):
+        return bloom_counters(
+            bloom_flag_probes(_bloom_probe(df), bench_h, bits)
+        )
+
+    agg = _stream_documents_closed(spark, sf_dir, op, "complete")
+    return bloom_finalize(agg)

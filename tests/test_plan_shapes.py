@@ -338,6 +338,39 @@ def test_round11_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
+def test_round12_exchange_budgets(spark):
+    """Round-12 additions (q137; the streaming q136 drains a stream,
+    not a plan build — its shape evidence is the planted stream-
+    equals-batch test + crash-resume in test_stateful.py), tree-walk
+    budgets (staged subtrees excluded), measured + 1 headroom."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # The count is high but EVERY exchange above staging is
+        # sketch-sized (<= |pairs| x 256 rows) or a broadcast: the
+        # pairwise audit rebuilds four tiny faces (source list x2 +
+        # broadcast pairs x2, pair-register merge + its estimate
+        # regroup, per-source estimate regroup + broadcast x2, exact
+        # pair agg + broadcast) + the catalog sort (measured 14). The
+        # ONLY corpus-sized structures are inside the staged shingle/
+        # register builds (one Arrow pass + the register max-agg that
+        # collapses map-side) and the exact-truth h-join, which AQE
+        # broadcasts at test SF and sort-merges co-partitioned at
+        # scale. A regression that exchanges shingles where registers
+        # should flow shows up in the STAGED subtree, caught by the
+        # q128 pin; this pin catches pairwise-face regressions.
+        ("q137_hll_overlap", 15),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""

@@ -404,3 +404,66 @@ def test_streaming_hist_resume_from_checkpoint(spark, tmp_path):
     assert final == want and len(want) > 0
     # the resumed histogram strictly extends the pre-crash one
     assert sum(final.values()) > sum(partial.values())
+
+
+def test_streaming_bloom_resume_from_checkpoint(spark, tmp_path):
+    """q136's per-source bloom counters join the constant-state family
+    WITH crash-resume evidence in the same round (the q129/q134
+    lesson): kill between micro-batches, restart from the checkpoint,
+    and the FINAL complete-mode counters must equal the batch face's
+    row-for-row. Counters are linear (q134's caveat applies), so a
+    state reset shows up as second-half-only counts and fails the
+    compare. The static sides (bench_h + bit sets) are rebuilt at
+    restart from the batch table — stream-static join state is not
+    checkpointed, only the counter agg is."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation10 import (
+        _bloom_probe,
+        bloom_bits,
+        bloom_counters,
+        bloom_flag_probes,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench_h, bits = bloom_bits(spark, SF_SMOKE)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        counters = bloom_counters(
+            bloom_flag_probes(_bloom_probe(stream), bench_h, bits)
+        )
+        q = (
+            counters.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: (r[1], r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("bloom_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("bloom_resume_2")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in bloom_counters(
+            bloom_flag_probes(_bloom_probe(docs), bench_h, bits)
+        ).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed counters strictly extend the pre-crash ones
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
