@@ -163,9 +163,9 @@ def run_pinned(out_path: str) -> None:
                 "code, wide enough to hide a real 20% regression. Load shape "
                 "pinned (shared deterministic input, fixed file count, fixed "
                 "trigger count via maxFilesPerTrigger), estimator robust "
-                "(per-process median-of-%d after warm-up, per-run median-of-%d "
-                "sequential fresh processes). Two same-code runs; acceptance "
-                "band <= 0.10." % (MEASURED_RUNS, PROCESSES)
+                f"(per-process median-of-{MEASURED_RUNS} after warm-up, "
+                f"per-run median-of-{PROCESSES} sequential fresh processes). "
+                "Two same-code runs; acceptance band <= 0.10."
             ),
             "config": {
                 "n_records": N_RECORDS,
