@@ -47,6 +47,32 @@ def _state_store_conf() -> str | None:
     return _ROCKSDB_PROVIDER
 
 
+def _drain_width(explicit: str | None) -> str:
+    """Shuffle width for a closed-input drain. Each stateful stage
+    allocates one state-store instance PER shuffle partition, so the
+    right width tracks the drain's STATE SIZE, not the data volume —
+    round-12 fresh-process measurements at sf0.1 (min-of-3):
+
+      width          8       2
+      q129 hll     3.98    3.41   (constant state, Arrow-scan bound)
+      q134 hist    3.41    1.50   (constant state)
+      q136 bloom   3.61    2.28   (constant state)
+      q113 cms     2.17    1.88   (constant state)
+      q73 join     3.26    3.46   (real join state — wants width)
+      q91 pandas   2.41    3.26   (python-stateful — wants width)
+
+    so constant-state sketch drains pass explicit "2" and everything
+    else keeps the default 8 (itself measured in round 9: 6.9 ->
+    2.3 s for the stream-stream join at 32 -> 8). The env knob
+    overrides both for A/B experiments. On a real cluster the
+    checkpoint fixes state partitioning per query — size it to the
+    stream's key cardinality, not this local knob."""
+    env = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS")
+    if env:
+        return env
+    return explicit if explicit is not None else "8"
+
+
 def _stream_table_closed(
     spark: SparkSession,
     sf_dir: str,
@@ -54,6 +80,7 @@ def _stream_table_closed(
     op,
     output_mode: str,
     normalize_ts: bool = False,
+    partitions: str | None = None,
 ) -> DataFrame:
     """THE closed-input drain: stream the canonical parquet table
     through Structured Streaming (availableNow -> memory sink) and
@@ -95,7 +122,7 @@ def _stream_table_closed(
         }
     )
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _drain_width(partitions))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         if provider is not None:
@@ -288,8 +315,16 @@ def q73_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_documents_closed(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
-    return _stream_table_closed(spark, sf_dir, "documents", op, output_mode)
+def _stream_documents_closed(
+    spark: SparkSession,
+    sf_dir: str,
+    op,
+    output_mode: str,
+    partitions: str | None = None,
+) -> DataFrame:
+    return _stream_table_closed(
+        spark, sf_dir, "documents", op, output_mode, partitions=partitions
+    )
 
 
 @query(
@@ -502,7 +537,7 @@ def q113_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     def op(df):
         return _sketch.countmin_counters(df, "text")
 
-    grid = _stream_documents_closed(spark, sf_dir, op, "complete")
+    grid = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
     top = _sketch.exact_top_tokens(_load(spark, sf_dir, "documents"), "text", 20)
     return _sketch.countmin_probe(grid, top)
 
@@ -592,7 +627,7 @@ def q129_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _SK.hll_registers(rows.withColumnRenamed("doc", "source"), "source", "h")
 
-    regs = _stream_documents_closed(spark, sf_dir, op, "complete")
+    regs = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
     return _hll_output(spark, sf_dir, regs)
 
 
@@ -625,7 +660,7 @@ def q134_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-sized state."""
     from .curation10 import _hist_output, hist_documents
 
-    hist = _stream_documents_closed(spark, sf_dir, hist_documents, "complete")
+    hist = _stream_documents_closed(spark, sf_dir, hist_documents, "complete", partitions="2")
     return _hist_output(spark, sf_dir, hist)
 
 
@@ -676,5 +711,5 @@ def q136_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom_flag_probes(_bloom_probe(df), bench_h, bits)
         )
 
-    agg = _stream_documents_closed(spark, sf_dir, op, "complete")
+    agg = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
     return bloom_finalize(agg)
