@@ -1,4 +1,5 @@
-"""Round-12 batch additions (q137): sketch-based cross-source overlap.
+"""Round-12 batch additions (q137-q138): sketch-based cross-source
+overlap and sorted-neighborhood dedup.
 
 q137 estimates every source pair's distinct-5-shingle intersection by
 inclusion-exclusion over HyperLogLog-256 register files — |A ∩ B| ≈
@@ -14,6 +15,17 @@ rows), so the pairwise audit costs the same whether the corpus is
 column (the q128/q132/q133 discipline: approximation error is
 MEASURED in milli, not assumed) and is the one corpus-sized join you
 drop at scale.
+
+q138 adds the ORDER-based blocking family member the dedup surface
+lacked: Hernandez/Stolfo sorted-neighborhood (SNM). Every existing
+candidate generator is a HASH blocker (LSH bands q27, simhash bands
+q28, sign buckets q76, n-gram blocks q26, IVF cells q34); SNM instead
+sorts the corpus by a normalized blocking key and compares only rows
+within a fixed window w of the sort order — linear candidates with a
+tunable, key-locality-shaped recall profile, the classic complement
+when near-dups share prefixes but not rare shingles. The global rank
+is built WITHOUT a single-partition corpus window (see q138's
+docstring), which is the piece naive SNM ports get wrong at scale.
 
 Conventions follow catalog.py: identical column aliases both sides,
 total ORDER BY, BIGINT casts, the house 60-bit md5-prefix hash and
@@ -206,4 +218,187 @@ def q137_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------- q138
+
+# SNM geometry: blocking key = first 4 normalized tokens, window w=3
+# sort neighbors, candidates verified by exact 5-shingle jaccard
+# (q26/q106's shingle convention), flagged at >= 500 milli.
+_SNM_KEY_N = 4
+_SNM_W = 3
+_SNM_SH_N = 5
+_SNM_THRESH = 500
+_SNM_PARTS = 8  # range-partition width for the distributed rank
+
+
+def snm_global_rank(docs: DataFrame) -> DataFrame:
+    """(doc_id, grank): each doc's 1-based position in the TOTAL order
+    by (blocking key, doc_id) — built distributed:
+
+    1. `repartitionByRange(key, doc_id)` segments the total order into
+       contiguous ranges in partition-id order (the RangePartitioner
+       contract AQE's contiguous-coalesce preserves);
+    2. per-partition `row_number()` (a window over each range, never
+       one partition holding the corpus);
+    3. per-partition counts (a |partitions|-row frame) running-sum to
+       range offsets, broadcast back: grank = offset[pid] + local.
+
+    This is the piece a naive SNM port gets wrong at 100 TB — a bare
+    `row_number() OVER (ORDER BY key)` funnels the corpus through ONE
+    task. Here the only global structure is the |partitions|-row
+    offset frame."""
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    key = F.array_join(F.slice(toks, 1, _SNM_KEY_N), " ")
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", key.alias("k"))
+    rp = base.repartitionByRange(_SNM_PARTS, "k", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("pid").orderBy("k", "doc_id")
+    loc = rp.withColumn("lrank", F.row_number().over(w_loc))
+    cnts = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    return loc.join(F.broadcast(offs), "pid").select(
+        "doc_id", (F.col("lrank") + F.col("off")).cast("long").alias("grank")
+    )
+
+
+@query(
+    "q138_sorted_neighborhood",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY array_to_string(array_slice(tk, 1, {_SNM_KEY_N}), ' '),
+                                doc_id
+                   ) AS grank
+            FROM toks
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   b.grank - a.grank AS gap
+            FROM ranked a JOIN ranked b
+              ON b.grank - a.grank BETWEEN 1 AND {_SNM_W}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CAST('0x' || substring(md5(
+                       array_to_string(array_slice(tk, i, i + {_SNM_SH_N - 1}), ' ')
+                   ), 1, 15) AS BIGINT) AS h
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(tk) - {_SNM_SH_N - 1}, 0))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(min(c.gap) AS BIGINT) AS gap,
+                   CAST(count(*) AS BIGINT) AS inter_sh
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        scored AS (
+            SELECT i.doc_a, i.doc_b, i.gap, i.inter_sh,
+                   CAST(sa.n + sb.n - i.inter_sh AS BIGINT) AS union_sh,
+                   CAST(1000 * i.inter_sh
+                        // (sa.n + sb.n - i.inter_sh) AS BIGINT) AS jaccard_milli
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        SELECT doc_a, doc_b, gap, inter_sh, union_sh, jaccard_milli
+        FROM scored
+        WHERE jaccard_milli >= {_SNM_THRESH}
+        ORDER BY doc_a, doc_b
+    """,
+    description="Sorted-neighborhood dedup (Hernandez/Stolfo SNM): "
+    "sort the corpus by a 4-token normalized blocking prefix, take "
+    "ONLY pairs within w=3 positions of the total order as candidates "
+    "(linear in corpus size, no hash tables), verify each by exact "
+    "5-shingle jaccard and flag >= 500 milli — the ORDER-based "
+    "blocking complement to the hash blockers (LSH q27, simhash q28, "
+    "n-gram q26); its documented miss (near-dups whose PREFIXES "
+    "differ) is exactly what multi-pass SNM with rotated keys fixes",
+    tags=("llm", "dedup", "text"),
+)
+def q138_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the global rank is distributed (snm_global_rank —
+    range exchange + per-range window + |partitions|-row broadcast,
+    never a one-task corpus sort). Candidates come from a BAND
+    equi-join on grank div w: the probe side carries each row under
+    bands {b, b-1} (2x a tiny 2-column frame), so a pair within w
+    positions meets exactly once and the join is co-partitioned hash,
+    not theta. Verification joins candidates to the staged shingle
+    frame on doc then (doc, h) — per-pair cost bounded by shingle
+    counts, the same class as q26's LSH verification. Total: linear
+    candidates, zero corpus-sized broadcast, zero single-partition
+    stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = stage(snm_global_rank(docs))
+    # staged: the band join reads it twice (build + probe)
+    band = (F.col("grank") / _SNM_W).cast("long")  # floor for positive ranks
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grank").alias("ga"),
+        band.alias("b"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grank").alias("gb"),
+        F.explode(F.array(band, band - 1)).alias("b"),
+    )
+    cand = (
+        left.join(right, "b")
+        .filter((F.col("gb") - F.col("ga")).between(1, _SNM_W))
+        .select("doc_a", "doc_b", (F.col("gb") - F.col("ga")).alias("gap"))
+    )
+
+    sh = stage(
+        _shingle_hash_rows(docs.select("doc_id", "text"), "doc_id", "text", _SNM_SH_N)
+    )  # staged: sizes agg + both verification probes read it
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("gap").cast("long").alias("gap"),
+            F.count(F.lit(1)).cast("long").alias("inter_sh"),
+        )
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "gap",
+            "inter_sh",
+            (F.col("na") + F.col("nb") - F.col("inter_sh"))
+            .cast("long")
+            .alias("union_sh"),
+            F.expr("1000 * inter_sh div (na + nb - inter_sh)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return scored.filter(F.col("jaccard_milli") >= _SNM_THRESH).orderBy(
+        "doc_a", "doc_b"
     )
