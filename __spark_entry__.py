@@ -5,23 +5,25 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q135`` as of round-11 end;
-new queries append past that), in a round-12 WINDOW order: the
+Naming: canonical catalog names (``q01..q139`` as of round-13;
+new queries append past that), in a round-13 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q132..q135 + q59..q76 + q96..q108
-+ q01..q15`` first — the 4 round-11 additions (never
-driver-verified; the round-8 principle: never-verified beats
-stale-but-verified) plus the 31 oldest r9 rows (q59..q76,
-q96..q108) and 15 of the oldest r10 rows (q01..q15).  Names are
-NOT aliased — same canonical ``qNN``, same QuerySpec, same oracle;
-only dict insertion order moves.  q16..q58 + q77..q95 + q109..q131
-keep fresh r10/r11 rows, so nothing loses hard coverage.  Round 13
-refreshes q16..q31 + q36 + q109..q126 plus whatever round 12 adds,
-per the ledger.  Queries added DURING round 12 (q136+) sort after
-the window and are driver-uncovered this round
-(CORRECTNESS_local-only), slated for a later window.  The per-round
-ledger lives in README §Rotation and the full-catalog artifact is
-CORRECTNESS_local_r{N}.json every round.
+entries, so this round exposes ``q136..q139 + q16..q31 + q36 +
+q109..q126 + q37..q47`` first — the round-12/13 additions
+q136..q139 (never driver-verified; the round-8 principle:
+never-verified beats stale-but-verified) plus the 35 oldest r10
+rows (q16..q31, q36, q109..q126) topped up with the next-oldest
+r11 rows (q37..q47; q48 stays on its r11 row — it is the one entry
+the round-12 verdict's q37..q48 top-up prescription loses to
+q139's seat).  Names are NOT aliased — same canonical ``qNN``,
+same QuerySpec, same oracle; only dict insertion order moves.
+q01..q15 + q32..q35 + q48..q58 + q59..q108 + q127..q135 keep fresh
+r11/r12 rows, so nothing loses hard coverage.  Queries added
+DURING round 13 (q140+) sort after the window and are
+driver-uncovered this round (CORRECTNESS_local-only), slated for a
+later window.  The per-round ledger lives in README §Rotation and
+the full-catalog artifact is CORRECTNESS_local_r{N}.json every
+round.
 """
 
 from __future__ import annotations
@@ -34,24 +36,25 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 12; round-11 verdict "Next round #1"):
-# q132..q135 (4 round-11 additions, never driver-verified) +
-# q59..q76 + q96..q108 (31 oldest r9 rows) + q01..q15 (15 oldest
-# r10 rows).  Exactly 50 entries.
+# of catalog numbers (round 13; round-12 verdict "Next round #3"):
+# q136..q139 (round-12/13 additions, never driver-verified) +
+# q16..q31 + q36 + q109..q126 (35 oldest r10 rows) + q37..q47 (11
+# next-oldest r11 rows).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(132, 136))
-    + list(range(59, 77))
-    + list(range(96, 109))
-    + list(range(1, 16))
+    list(range(136, 140))
+    + list(range(16, 32))
+    + [36]
+    + list(range(109, 127))
+    + list(range(37, 48))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-12 window order: the explicit ``_WINDOW`` list first (in
-    list position, NOT numeric order — q132..q135 lead so a mid-round
-    catalog addition q136+ cannot evict them), then everything else in
+    """Round-13 window order: the explicit ``_WINDOW`` list first (in
+    list position, NOT numeric order — q136..q139 lead so a mid-round
+    catalog addition q140+ cannot evict them), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
     sorted() would slot q100 between q10 and q11)."""
     m = re.match(r"q(\d+)", name)
@@ -70,8 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-12 window order (module docstring):
-    q132..q135 + q59..q76 + q96..q108 + q01..q15 first, so the
+    Insertion order is the round-13 window order (module docstring):
+    q136..q139 + q16..q31 + q36 + q109..q126 + q37..q47 first, so the
     driver's 50-entry correctness window covers every
     never-driver-verified plan plus the oldest stale rows, then the
     rest of the catalog in numeric order.

@@ -1,4 +1,4 @@
-from .catalog import REGISTRY, QuerySpec, all_specs, query
+from .catalog import CATALOG_EXTENT, REGISTRY, QuerySpec, all_specs, query
 
 # Importing the plan modules populates REGISTRY.
 from . import relational  # noqa: E402,F401
@@ -23,4 +23,4 @@ from . import streaming_q  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "QuerySpec", "all_specs", "query"]
+__all__ = ["CATALOG_EXTENT", "REGISTRY", "QuerySpec", "all_specs", "query"]

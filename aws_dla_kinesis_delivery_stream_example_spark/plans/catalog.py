@@ -30,6 +30,17 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Mechanical freeze guard (round-12 verdict Next #2). Three consecutive
+# rounds leaked the newest catalog addition past the artifact freeze
+# (q131 -> r10, q135 -> r11, q138 -> r12 — the last one BROKEN);
+# discipline failed, so the rule is now a test: adding a query without
+# bumping this constant fails `tests/test_catalog_extent.py` in
+# seconds, and the same test requires the newest committed
+# CORRECTNESS_local_r{N}*.json `_meta.catalog_extent` to equal it, so
+# bumping the constant without regenerating the full-catalog artifacts
+# fails too. One commit = constant bump + query + evidence.
+CATALOG_EXTENT = 139
+
 
 def query(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
     """Decorator registering a (spark_fn, oracle_sql) pair under ``name``."""

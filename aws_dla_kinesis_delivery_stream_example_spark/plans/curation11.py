@@ -1,5 +1,5 @@
-"""Round-12 batch additions (q137-q138): sketch-based cross-source
-overlap and sorted-neighborhood dedup.
+"""Round-12/13 batch additions (q137-q139): sketch-based cross-source
+overlap and sorted-neighborhood dedup (single- and multi-pass).
 
 q137 estimates every source pair's distinct-5-shingle intersection by
 inclusion-exclusion over HyperLogLog-256 register files — |A ∩ B| ≈
@@ -27,6 +27,13 @@ when near-dups share prefixes but not rare shingles. The global rank
 is built WITHOUT a single-partition corpus window (see q138's
 docstring), which is the piece naive SNM ports get wrong at scale.
 
+q139 is the classic multi-pass remedy for q138's documented miss:
+near-dups whose PREFIXES differ never sort adjacent under one key, so
+run P passes with ROTATED blocking keys (pass p sorts on the 4-token
+window at offset 4p), union the candidate pairs, and verify once.
+Recall strictly contains q138's (pass 0 IS q138's sort order) at P x
+the linear candidate cost.
+
 Conventions follow catalog.py: identical column aliases both sides,
 total ORDER BY, BIGINT casts, the house 60-bit md5-prefix hash and
 the q128 register/rank lattice (FIXTURES.md), so the sketch itself is
@@ -39,7 +46,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketch as SK
+from ..operators.dedup import _shingle_hash_rows
 from ..operators.staging import stage
+from ..sources.tables import load_table
 from .catalog import query
 from .curation9 import _HLL_EST_SQL, _Q130_N, _source_shingles
 
@@ -233,7 +242,18 @@ _SNM_THRESH = 500
 _SNM_PARTS = 8  # range-partition width for the distributed rank
 
 
-def snm_global_rank(docs: DataFrame) -> DataFrame:
+def _snm_key(pass_id: int = 0):
+    """Blocking key for SNM pass ``pass_id``: the _SNM_KEY_N-token
+    window starting at token offset pass_id * _SNM_KEY_N (pass 0 = the
+    prefix). Shorter docs yield whatever tokens remain (possibly ''),
+    matching DuckDB array_slice semantics exactly."""
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    return F.array_join(
+        F.slice(toks, 1 + _SNM_KEY_N * pass_id, _SNM_KEY_N), " "
+    )
+
+
+def snm_global_rank(docs: DataFrame, key=None) -> DataFrame:
     """(doc_id, grank): each doc's 1-based position in the TOTAL order
     by (blocking key, doc_id) — built distributed:
 
@@ -249,8 +269,8 @@ def snm_global_rank(docs: DataFrame) -> DataFrame:
     `row_number() OVER (ORDER BY key)` funnels the corpus through ONE
     task. Here the only global structure is the |partitions|-row
     offset frame."""
-    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    key = F.array_join(F.slice(toks, 1, _SNM_KEY_N), " ")
+    if key is None:
+        key = _snm_key(0)
     from pyspark.sql import Window
 
     base = docs.select("doc_id", key.alias("k"))
@@ -260,6 +280,10 @@ def snm_global_rank(docs: DataFrame) -> DataFrame:
     w_loc = Window.partitionBy("pid").orderBy("k", "doc_id")
     loc = rp.withColumn("lrank", F.row_number().over(w_loc))
     cnts = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # Unpartitioned Window.orderBy is intentional and BOUNDED: the
+    # frame is the per-partition count table (exactly _SNM_PARTS rows,
+    # a schema constant), never corpus-sized — the WindowExec
+    # single-partition warning does not indicate a scale bug here.
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = cnts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
@@ -390,6 +414,173 @@ def q138_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "gap",
+            "inter_sh",
+            (F.col("na") + F.col("nb") - F.col("inter_sh"))
+            .cast("long")
+            .alias("union_sh"),
+            F.expr("1000 * inter_sh div (na + nb - inter_sh)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return scored.filter(F.col("jaccard_milli") >= _SNM_THRESH).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------- q139
+
+# Multi-pass SNM: P sort passes, pass p blocking on the 4-token window
+# at offset 4p. Same window w and verify threshold as q138.
+_SNM_PASSES = 2
+
+
+@query(
+    "q139_snm_multipass",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        ranked AS (
+            SELECT p.pass_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY p.pass_id
+                       ORDER BY array_to_string(array_slice(
+                                    tk,
+                                    1 + {_SNM_KEY_N} * p.pass_id,
+                                    {_SNM_KEY_N} + {_SNM_KEY_N} * p.pass_id
+                                ), ' '),
+                                doc_id
+                   ) AS grank
+            FROM toks,
+                 UNNEST(generate_series(0, {_SNM_PASSES - 1})) AS p(pass_id)
+        ),
+        cand AS (
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   a.pass_id
+            FROM ranked a JOIN ranked b
+              ON a.pass_id = b.pass_id
+             AND b.grank - a.grank BETWEEN 1 AND {_SNM_W}
+        ),
+        cpair AS (
+            SELECT doc_a, doc_b,
+                   CAST(count(DISTINCT pass_id) AS BIGINT) AS passes
+            FROM cand GROUP BY doc_a, doc_b
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CAST('0x' || substring(md5(
+                       array_to_string(array_slice(tk, i, i + {_SNM_SH_N - 1}), ' ')
+                   ), 1, 15) AS BIGINT) AS h
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(tk) - {_SNM_SH_N - 1}, 0))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(min(c.passes) AS BIGINT) AS passes,
+                   CAST(count(*) AS BIGINT) AS inter_sh
+            FROM cpair c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        scored AS (
+            SELECT i.doc_a, i.doc_b, i.passes, i.inter_sh,
+                   CAST(sa.n + sb.n - i.inter_sh AS BIGINT) AS union_sh,
+                   CAST(1000 * i.inter_sh
+                        // (sa.n + sb.n - i.inter_sh) AS BIGINT) AS jaccard_milli
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        SELECT doc_a, doc_b, passes, inter_sh, union_sh, jaccard_milli
+        FROM scored
+        WHERE jaccard_milli >= {_SNM_THRESH}
+        ORDER BY doc_a, doc_b
+    """,
+    description="Multi-pass sorted-neighborhood dedup: TWO SNM sort "
+    "passes with ROTATED 4-token blocking keys (pass p blocks on the "
+    "token window at offset 4p), candidate pairs unioned across "
+    "passes (normalized least/greatest), verified ONCE by exact "
+    "5-shingle jaccard at >= 500 milli, reporting how many passes "
+    "generated each surviving pair — fixes q138's documented miss "
+    "(near-dups whose PREFIXES differ but whose later token windows "
+    "agree), the classic Hernandez/Stolfo multi-pass remedy",
+    tags=("llm", "dedup", "text"),
+)
+def q139_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: P (=2) independent rank builds, each the q138
+    distributed shape (range exchange + per-range window +
+    |partitions|-row broadcast — never a one-task corpus sort) on its
+    own rotated key, P band equi-joins (each co-partitioned hash, the
+    probe side carrying bands {b, b-1}), and candidates unioned then
+    collapsed by ONE pair groupBy before the single verification join
+    — so a pair found by both passes is verified once, not twice.
+    Total cost is P x the single-pass linear candidate bill plus one
+    dedup exchange; recall strictly contains q138's (pass 0 IS q138's
+    sort). Nothing corpus-sized is broadcast and no stage is
+    single-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_pass = []
+    for p in range(_SNM_PASSES):
+        ranked = stage(snm_global_rank(docs, _snm_key(p)))
+        # staged: the band join reads each pass's rank twice
+        band = (F.col("grank") / _SNM_W).cast("long")
+        left = ranked.select(
+            F.col("doc_id").alias("ida"),
+            F.col("grank").alias("ga"),
+            band.alias("b"),
+        )
+        right = ranked.select(
+            F.col("doc_id").alias("idb"),
+            F.col("grank").alias("gb"),
+            F.explode(F.array(band, band - 1)).alias("b"),
+        )
+        per_pass.append(
+            left.join(right, "b")
+            .filter((F.col("gb") - F.col("ga")).between(1, _SNM_W))
+            .select(
+                F.least("ida", "idb").alias("doc_a"),
+                F.greatest("ida", "idb").alias("doc_b"),
+                F.lit(p).alias("pass_id"),
+            )
+        )
+    cand = per_pass[0]
+    for c in per_pass[1:]:
+        cand = cand.unionByName(c)
+    cpair = cand.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("pass_id").cast("long").alias("passes")
+    )
+
+    sh = stage(
+        _shingle_hash_rows(docs.select("doc_id", "text"), "doc_id", "text", _SNM_SH_N)
+    )  # staged: sizes agg + both verification probes read it
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        cpair.join(sh.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("passes").cast("long").alias("passes"),
+            F.count(F.lit(1)).cast("long").alias("inter_sh"),
+        )
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "passes",
             "inter_sh",
             (F.col("na") + F.col("nb") - F.col("inter_sh"))
             .cast("long")

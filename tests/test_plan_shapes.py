@@ -371,6 +371,40 @@ def test_round12_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
+def test_round13_exchange_budgets(spark):
+    """Round-13 additions (q138 repaired + its evidence kit, q139),
+    tree-walk budgets (staged subtrees excluded), measured + 1
+    headroom for AQE join swaps."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # The rank build inside the staged subtree (range exchange +
+        # per-range window + 8-row offset broadcast) is excluded by
+        # staging; above it: band join (probe explode ships 2x a
+        # 3-column frame, co-partitioned hash on b) + candidate agg +
+        # the two shingle-verification probes + pair agg + 2 broadcast
+        # size joins + final sort (measured 9). A regression that
+        # theta-joins grank ranges instead of the band equi-join, or
+        # re-shuffles the corpus-sized shingle frame per probe, blows
+        # this immediately.
+        ("q138_sorted_neighborhood", 10),
+        # 2 passes x (band join + explode ship) + the cross-pass pair
+        # dedup agg + one verification (same shape as q138's tail)
+        # (measured 11). Only +2 over q138 for the second pass: the
+        # verification is shared, which is the point of the pair-level
+        # union-then-dedup before the shingle joins.
+        ("q139_snm_multipass", 12),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_window_queries_single_sort_per_key(spark):
     """q80's two window passes + session agg must share ONE user_id
     exchange — the same-partitioning reuse SCALE.md promises."""
