@@ -866,3 +866,60 @@ def minhash_calibration_report(
         ).alias("mean_est_err_milli"),
         F.coalesce(F.col("_err_max"), F.lit(0)).cast("long").alias("max_est_err_milli"),
     )
+
+
+# Knuth multiplicative hash (floor(2^32/phi) mod 2^31-1): the q60
+# deterministic-split convention (plans/llm.py), restated here because
+# operators must not import plans. Engine-independent integer
+# arithmetic — any SQL engine reproduces the stratum exactly.
+_CAL_SAMPLE_MULT = 2654435761
+_CAL_SAMPLE_MOD = 2147483647
+
+
+def minhash_calibration_sampled(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    sample_mod: int = 1,
+    sample_bucket: int = 0,
+) -> DataFrame:
+    """``minhash_calibration_report`` restricted to a DETERMINISTIC
+    1/sample_mod document stratum — the 100 TB execution mode of q114
+    (round-12 verdict Next #7, option 2).
+
+    q114's point is "measure, don't guess": audit the LSH candidate
+    generator against cap-free EXACT-Jaccard truth before committing
+    the full dedup job. The exact side is the one corpus-quadratic
+    piece, fine at bench SF and unpayable at 100 TB. The scale answer
+    is not to cap it (a df cap changes what "truth" means) but to
+    SAMPLE the corpus: run the identical audit on a multiplicative-
+    hash stratum of the documents (the q60 split convention, so the
+    stratum is reproducible in any engine and uncorrelated with
+    doc_id order or content), then size bands/hashes from the sampled
+    recall/precision. Sampling DOCUMENTS (not pairs) keeps both
+    generators' semantics intact within the stratum; the measured
+    tradeoff is that cross-stratum pairs are invisible — recall/
+    precision are estimated from within-stratum pairs, which is the
+    standard SNM/LSH calibration protocol and unbiased when strata
+    are hash-random.
+
+    ``sample_mod=1`` is EXACTLY the full report (pinned column-for-
+    column by test) — the same "scale mode equals audited face"
+    discipline as ``bloom_decontam_scale``. The stratum filter is a
+    scan-side integer predicate applied before any shuffle or Arrow
+    pass, so the whole pipeline downstream (shingling, signatures,
+    joins) runs on |corpus|/sample_mod rows.
+    """
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    if not (0 <= sample_bucket < sample_mod):
+        raise ValueError(
+            f"sample_bucket must be in [0, {sample_mod}), got {sample_bucket}"
+        )
+    if sample_mod > 1:
+        bucket = (
+            (F.col(id_col) * _CAL_SAMPLE_MULT) % _CAL_SAMPLE_MOD % sample_mod
+        )
+        docs = docs.filter(bucket == sample_bucket)
+    return minhash_calibration_report(docs, id_col, text_col, threshold)

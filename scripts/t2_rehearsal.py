@@ -139,8 +139,18 @@ def main() -> None:
         # first 50 exposed names) so the artifact states which catalog
         # queries carry driver rows this round without README archaeology.
         window_first_50 = list(mod.queries())[:50]
+        # Round-13 freeze guard: the artifact must declare the catalog
+        # extent it ran against; tests/test_catalog_extent.py pins the
+        # newest committed artifact's extent to plans.CATALOG_EXTENT,
+        # so a post-freeze catalog addition fails pytest mechanically.
+        from aws_dla_kinesis_delivery_stream_example_spark.plans import (
+            CATALOG_EXTENT,
+        )
+
+        assert len(all_specs()) == CATALOG_EXTENT
         report["_meta"] = {
             "sf_dir": sf_dir,
+            "catalog_extent": CATALOG_EXTENT,
             "alias_to_catalog": alias_map,
             "driver_window_first_50": window_first_50,
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -189,6 +189,74 @@ def test_q139_rotated_pass_catches_the_q138_miss(spark, snm_sf_dir):
     assert (1, 5) in model and (2, 5) in model
 
 
+def test_minhash_calibration_sampled_mod1_equals_q114(spark):
+    """The scale mode's audited face: sample_mod=1 must equal the full
+    q114 report column-for-column at smoke SF (the bloom_decontam_scale
+    equivalence discipline)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+        minhash_calibration_sampled,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = SPECS["q114_minhash_calibration"].spark(spark, SF_SMOKE).collect()
+    sampled = minhash_calibration_sampled(docs, threshold=0.5).collect()
+    assert [r.asDict() for r in sampled] == [r.asDict() for r in full]
+
+
+def test_minhash_calibration_sampled_strata(spark, snm_sf_dir):
+    """On the planted fixture the multiplicative hash puts docs
+    {1,2,3,4,9} in bucket 0 and {5,6,7,8} in bucket 1 (recomputed here
+    from the raw constant) — both planted >=0.5-jaccard truth pairs
+    (1,2) and (3,4) live in bucket 0, so the bucket-0 audit must see
+    n_truth=2 and bucket 1 must see 0; the full audit sees the same 2.
+    """
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+        _CAL_SAMPLE_MOD,
+        _CAL_SAMPLE_MULT,
+        minhash_calibration_sampled,
+    )
+
+    strata = {
+        d: d * _CAL_SAMPLE_MULT % _CAL_SAMPLE_MOD % 2 for d in _TOKS
+    }
+    assert {d for d, b in strata.items() if b == 0} == {1, 2, 3, 4, 9}
+    # python truth model: pairs with exact 5-shingle jaccard >= 0.5
+    truth = {
+        tuple(sorted(p))
+        for p in itertools.combinations(_TOKS, 2)
+        if _jacc_milli(*p) >= 500
+    }
+    assert truth == {(1, 2), (3, 4)}
+    docs = load_table(spark, snm_sf_dir, "documents")
+    full = minhash_calibration_sampled(docs, threshold=0.5).collect()[0]
+    b0 = minhash_calibration_sampled(
+        docs, threshold=0.5, sample_mod=2, sample_bucket=0
+    ).collect()[0]
+    b1 = minhash_calibration_sampled(
+        docs, threshold=0.5, sample_mod=2, sample_bucket=1
+    ).collect()[0]
+    assert full["n_truth"] == 2 and b0["n_truth"] == 2 and b1["n_truth"] == 0
+    # within-stratum-only measurement: stratum truth can never exceed
+    # full truth, and here (no cross-stratum truth pairs) it matches
+    assert b0["n_truth"] + b1["n_truth"] <= full["n_truth"] + 0
+
+
+def test_minhash_calibration_sampled_validates_inputs(spark, snm_sf_dir):
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.dedup import (
+        minhash_calibration_sampled,
+    )
+
+    docs = load_table(spark, snm_sf_dir, "documents")
+    with pytest.raises(ValueError):
+        minhash_calibration_sampled(docs, sample_mod=0)
+    with pytest.raises(ValueError):
+        minhash_calibration_sampled(docs, sample_mod=4, sample_bucket=4)
+    with pytest.raises(ValueError):
+        minhash_calibration_sampled(docs, sample_mod=2, sample_bucket=-1)
+
+
 def test_q139_recall_contains_q138(spark, snm_sf_dir):
     """Pass 0 IS q138's sort order, so multi-pass output must be a
     superset of single-pass output on any corpus (checked on the
