@@ -1,0 +1,181 @@
+"""Round-13 batch addition (q140): DSIR-style importance reweighting.
+
+Data Selection with Importance Resampling (Xie et al., 2023) selects
+pretraining documents that RESEMBLE a target domain by estimating,
+for hashed n-gram features, the ratio between the target's feature
+distribution and the raw corpus's, then scoring each document by its
+features' ratios. This is the mixture-shaping complement to the
+filters already in the catalog: q67 reweights by GIVEN per-source
+targets, q102 audits composition, q36/q97 gate on intrinsic quality —
+q140 derives the weights FROM the data, pointing the corpus at a
+target domain (here: the English stratum) without hand-set knobs.
+
+Lattice deviation from the paper (documented): DSIR scores with
+log-probability sums; cross-engine log on floats is not
+hash-checkable. The score here is the per-bucket probability RATIO on
+the integer milli floor lattice — score(b) = 1000 * c_tgt[b] * n_all
+// (c_all[b] * n_tgt) — and a doc's importance is the floor-mean of
+its token occurrences' scores. Monotone in the same direction as the
+paper's per-token likelihood ratio, exactly reproducible in any
+engine with 64-bit integers. At true 100 TB counts the raw triple
+product can exceed int64; production folds counts to per-mille
+shares per bucket first (a 256-row transform) — bench counts stay
+far inside the lattice, so here the exact-count form is kept and
+hash-checked.
+
+Conventions: the house md5-60-bit token hash folded mod 256 (the
+q128 register fold geometry) computed JVM-side via conv() — the
+bucket table is CORPUS-INDEPENDENT state (256 rows), which is the
+entire scale story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.staging import stage
+from ..sources.tables import load_table
+from .catalog import query
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_SELECT_MILLI = 1000  # selected = at-or-above corpus-average affinity
+
+
+@query(
+    "q140_dsir_reweight",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source, lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source, lang,
+                   CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS bkt
+            FROM tok
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                        AS BIGINT) AS n_tgt
+            FROM b
+        ),
+        dist AS (
+            SELECT bkt,
+                   CAST(count(*) AS BIGINT) AS c_all,
+                   CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                        AS BIGINT) AS c_tgt
+            FROM b GROUP BY bkt
+        ),
+        score AS (
+            SELECT d.bkt,
+                   CAST(1000 * d.c_tgt * t.n_all
+                        // (d.c_all * t.n_tgt) AS BIGINT) AS s
+            FROM dist d, tot t
+        ),
+        doc AS (
+            SELECT b.doc_id, max(b.source) AS source,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(s.s) AS BIGINT) AS imp_sum
+            FROM b JOIN score s USING (bkt)
+            GROUP BY b.doc_id
+        ),
+        pd AS (
+            SELECT doc_id, source,
+                   CAST(imp_sum // n_tok AS BIGINT) AS imp_milli
+            FROM doc
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(imp_milli) // count(*) AS BIGINT) AS mean_imp_milli,
+               CAST(count(*) FILTER (WHERE imp_milli >= {_DSIR_SELECT_MILLI})
+                    AS BIGINT) AS n_selected
+        FROM pd GROUP BY source ORDER BY source
+    """,
+    description="DSIR-style importance reweighting toward the English "
+    "target stratum: hashed-unigram bucket distributions (md5-60-bit "
+    "mod 256) for target and corpus, per-bucket probability ratio on "
+    "the integer milli floor lattice, per-doc importance = floor-mean "
+    "of its token occurrences' bucket scores, rolled up per source "
+    "with the count selected at >= corpus-average affinity (1000 "
+    "milli) — derives mixture weights FROM the data (vs q67's given "
+    "targets), the Xie et al. 2023 data-selection shape",
+    tags=("llm", "curation"),
+)
+def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus-sized token explode (staged — the two
+    distribution aggs and the scoring join read it; the same cost
+    class as every shingle pass in the dedup family). Everything
+    derived is corpus-INDEPENDENT state: the bucket distribution
+    collapses map-side to <= 256 rows before its exchange, the totals
+    are a 1-row broadcast (crossJoin of a scalar frame, the house
+    exception), and the score table broadcast onto the token frame is
+    256 rows at ANY corpus size — so the per-doc scoring pass never
+    shuffles the corpus (join side is broadcast), and the per-doc agg
+    collapses map-side per doc_id. At 100 TB the bucket table is the
+    piece you persist and re-use across selection runs (it is
+    mergeable: counts add across shards), exactly like the q128
+    registers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    b = stage(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(toks).alias("t"),
+        ).select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+                f" % {_DSIR_BUCKETS}"
+            ).alias("bkt"),
+        )
+    )
+    # staged: the totals agg, the bucket distribution, and the scoring
+    # join each read the exploded token frame once
+    is_tgt = F.col("lang") == _DSIR_TARGET_LANG
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.count(F.when(is_tgt, 1)).cast("long").alias("n_tgt"),
+    )
+    dist = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.count(F.when(is_tgt, 1)).cast("long").alias("c_tgt"),
+    )
+    score = dist.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.expr("1000 * c_tgt * n_all div (c_all * n_tgt)")
+        .cast("long")
+        .alias("s"),
+    )
+    doc = (
+        b.join(F.broadcast(score), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("s").cast("long").alias("imp_sum"),
+        )
+    )
+    pd = doc.select(
+        "doc_id", "source", F.expr("imp_sum div n_tok").cast("long").alias("imp_milli")
+    )
+    return (
+        pd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(imp_milli) div count(*)")
+            .cast("long")
+            .alias("mean_imp_milli"),
+            F.count(F.when(F.col("imp_milli") >= _DSIR_SELECT_MILLI, 1))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .orderBy("source")
+    )

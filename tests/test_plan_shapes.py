@@ -396,6 +396,14 @@ def test_round13_exchange_budgets(spark):
         # verification is shared, which is the point of the pair-level
         # union-then-dedup before the shingle joins.
         ("q139_snm_multipass", 12),
+        # totals agg (1-row) + 256-row bucket-distribution agg (map-
+        # side collapse) + broadcast ships + per-doc agg + per-source
+        # agg + sort (measured 7). The one JOIN in the plan must stay
+        # a BROADCAST of the 256-row score table onto the staged token
+        # frame — pinned separately below — because a sort-merge there
+        # would shuffle the corpus by bucket (256 hot keys: the worst
+        # possible skew) for a table that fits in a closure.
+        ("q140_dsir_reweight", 8),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:
@@ -403,6 +411,22 @@ def test_round13_exchange_budgets(spark):
         finally:
             release_staging()
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_q140_score_join_is_broadcast_only(spark):
+    """q140's scoring join (256-row score table onto the corpus-sized
+    token frame) must plan as a BroadcastHashJoin and never sort-merge:
+    a shuffle on bkt would funnel the whole corpus through 256 hot
+    keys. The scalar-totals crossJoin is a broadcast nested loop (the
+    documented 1-row exception)."""
+    plan = plan_of(spark, "q140_dsir_reweight")
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    release_staging()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 def test_window_queries_single_sort_per_key(spark):

@@ -257,6 +257,91 @@ def test_minhash_calibration_sampled_validates_inputs(spark, snm_sf_dir):
         minhash_calibration_sampled(docs, sample_mod=2, sample_bucket=-1)
 
 
+# ---------------------------------------------------------------- q140
+
+# Two token vocabularies: en docs speak A-words, de docs speak B-words,
+# doc 4 is half-and-half — its importance must land between the pure
+# strata, and the A-heavy source must outscore the B-heavy one.
+_DSIR_ROWS = [
+    (1, "aa bb cc dd", "en", "srcA", None),
+    (2, "aa bb ee ff", "en", "srcA", None),
+    (3, "gg hh ii jj", "de", "srcB", None),
+    (4, "aa bb gg hh", "de", "srcB", None),
+]
+
+
+@pytest.fixture(scope="module")
+def dsir_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("dsir_sf")
+    return _write_documents(d, _DSIR_ROWS)
+
+
+def _dsir_model() -> dict[str, dict]:
+    """Pure-python recompute of q140 from raw md5 — independent of the
+    operator's code, so a lattice/bucketing drift on either side fails
+    loudly."""
+    import hashlib
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation12 import (
+        _DSIR_BUCKETS,
+        _DSIR_SELECT_MILLI,
+        _DSIR_TARGET_LANG,
+    )
+
+    def bkt(tok: str) -> int:
+        return (
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+        )
+
+    occ = [
+        (doc_id, src, lang, bkt(t))
+        for doc_id, text, lang, src, _ in _DSIR_ROWS
+        for t in text.lower().split()
+    ]
+    n_all = len(occ)
+    n_tgt = sum(1 for _, _, lang, _b in occ if lang == _DSIR_TARGET_LANG)
+    c_all: dict[int, int] = {}
+    c_tgt: dict[int, int] = {}
+    for _, _, lang, b in occ:
+        c_all[b] = c_all.get(b, 0) + 1
+        if lang == _DSIR_TARGET_LANG:
+            c_tgt[b] = c_tgt.get(b, 0) + 1
+    score = {
+        b: 1000 * c_tgt.get(b, 0) * n_all // (c_all[b] * n_tgt) for b in c_all
+    }
+    per_doc: dict[int, tuple[str, int]] = {}
+    for doc_id, text, lang, src, _ in _DSIR_ROWS:
+        toks = text.lower().split()
+        imp = sum(score[bkt(t)] for t in toks) // len(toks)
+        per_doc[doc_id] = (src, imp)
+    out: dict[str, dict] = {}
+    for src in sorted({r[3] for r in _DSIR_ROWS}):
+        imps = [imp for s, imp in per_doc.values() if s == src]
+        out[src] = {
+            "source": src,
+            "n_docs": len(imps),
+            "mean_imp_milli": sum(imps) // len(imps),
+            "n_selected": sum(1 for i in imps if i >= _DSIR_SELECT_MILLI),
+        }
+    return out, per_doc
+
+
+def test_q140_planted_matches_pure_python_model(spark, dsir_sf_dir):
+    model, per_doc = _dsir_model()
+    rows = {
+        r["source"]: r.asDict()
+        for r in SPECS["q140_dsir_reweight"].spark(spark, dsir_sf_dir).collect()
+    }
+    assert rows == model
+    # directionality: target-vocabulary docs must outscore off-target
+    # ones, with the mixed doc strictly between the pure strata
+    imp = {d: i for d, (_, i) in per_doc.items()}
+    assert imp[1] > imp[4] > imp[3] and imp[2] > imp[4]
+    assert model["srcA"]["mean_imp_milli"] > model["srcB"]["mean_imp_milli"]
+    # selection is non-vacuous on both sides of the threshold
+    assert model["srcA"]["n_selected"] == 2 and model["srcB"]["n_selected"] < 2
+
+
 def test_q139_recall_contains_q138(spark, snm_sf_dir):
     """Pass 0 IS q138's sort order, so multi-pass output must be a
     superset of single-pass output on any corpus (checked on the
