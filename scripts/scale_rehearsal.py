@@ -488,10 +488,68 @@ def extreme_tier_rehearsal(
     _release()
     spark.catalog.clearCache()
 
+    # round-13: SNM at the extreme tier — the order-based blocker's
+    # whole claim is candidates <= w*n regardless of content, so the
+    # marginal decade 50k -> 500k docs must show exponent ~1.0 and the
+    # rank build must not degrade (the distributed-rank design is
+    # exactly what a naive port breaks at this size).
+    from aws_dla_kinesis_delivery_stream_example_spark.plans import (
+        curation11 as _c11,
+    )
+
+    rk = _c11.snm_global_rank(docs)
+    bnd = (F.col("grank") / _c11._SNM_W).cast("long")
+    lft = rk.select(F.col("doc_id").alias("ida"), F.col("grank").alias("ga"), bnd.alias("b"))
+    rgt = rk.select(
+        F.col("doc_id").alias("idb"),
+        F.col("grank").alias("gb"),
+        F.explode(F.array(bnd, bnd - 1)).alias("b"),
+    )
+    cand, row["snm_cand_sec"] = timed(
+        lambda: lft.join(rgt, "b")
+        .filter((F.col("gb") - F.col("ga")).between(1, _c11._SNM_W))
+        .count()
+    )
+    row["snm_candidates"] = cand
+    # the @query decorator returns the function itself, so the module
+    # attribute is directly callable on the synth tier dir
+    _, row["snm_sec"] = timed(
+        lambda: _c11.q138_sorted_neighborhood(spark, tier_dir).count()
+    )
+    _release()
+    spark.catalog.clearCache()
+
+    # round-13: DSIR at the extreme tier — candidates := token
+    # occurrences (linear), bucket state must stay <= 256 (the
+    # corpus-independence pin at half a million docs).
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation12 import (
+        q140_dsir_reweight as _q140,
+    )
+
+    _, row["dsir_sec"] = timed(lambda: _q140(spark, tier_dir).count())
+    _tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("t")
+    )
+    row["dsir_candidates"] = _tok.count()
+    row["dsir_buckets"] = (
+        _tok.select(
+            F.expr(
+                "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 256"
+            ).alias("bkt")
+        )
+        .distinct()
+        .count()
+    )
+    assert row["dsir_buckets"] <= 256
+    _release()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
         for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite",
-                   "quantann", "fuzzy"):
+                   "quantann", "fuzzy", "snm", "dsir"):
             if f"{op}_candidates" not in ref_row:
                 continue
             c_lo = max(ref_row[f"{op}_candidates"], 1)
@@ -982,6 +1040,85 @@ def main() -> None:
             release_staging()
             spark.catalog.clearCache()
 
+        # round-13: q138/q139 SNM — the ORDER-based blocking family.
+        # candidates := band-join pairs PRE-verification; by
+        # construction <= w*n (single pass) and <= P*w*n (multi-pass),
+        # so the exponent must sit at ~1.0 exactly — this is the
+        # "linear candidates" design claim, measured. Wall per tier
+        # for the full catalog queries recorded alongside.
+        from aws_dla_kinesis_delivery_stream_example_spark.plans import (
+            curation11 as _c11,
+        )
+
+        def _snm_cand_count(pass_ids) -> int:
+            per_pass = []
+            for p in pass_ids:
+                rk = _c11.snm_global_rank(docs, _c11._snm_key(p))
+                bnd = (F.col("grank") / _c11._SNM_W).cast("long")
+                lft = rk.select(
+                    F.col("doc_id").alias("ida"),
+                    F.col("grank").alias("ga"),
+                    bnd.alias("b"),
+                )
+                rgt = rk.select(
+                    F.col("doc_id").alias("idb"),
+                    F.col("grank").alias("gb"),
+                    F.explode(F.array(bnd, bnd - 1)).alias("b"),
+                )
+                per_pass.append(
+                    lft.join(rgt, "b")
+                    .filter(
+                        (F.col("gb") - F.col("ga")).between(1, _c11._SNM_W)
+                    )
+                    .select(
+                        F.least("ida", "idb").alias("doc_a"),
+                        F.greatest("ida", "idb").alias("doc_b"),
+                    )
+                )
+            u = per_pass[0]
+            for c in per_pass[1:]:
+                u = u.unionByName(c)
+            return u.distinct().count()
+
+        row["snm_candidates"] = _snm_cand_count([0])
+        _, row["snm_sec"] = timed(
+            lambda: specs["q138_sorted_neighborhood"].spark(spark, sf_dir).count()
+        )
+        release_staging()
+        spark.catalog.clearCache()
+        row["snmmulti_candidates"] = _snm_cand_count([0, 1])
+        _, row["snmmulti_sec"] = timed(
+            lambda: specs["q139_snm_multipass"].spark(spark, sf_dir).count()
+        )
+        release_staging()
+        spark.catalog.clearCache()
+
+        # round-13: q140 DSIR — constant-state family. candidates :=
+        # token occurrences (the one corpus-sized pass, linear by
+        # construction); dsir_buckets is the STATE bound and must stay
+        # <= 256 at every tier (the corpus-independence claim).
+        _, row["dsir_sec"] = timed(
+            lambda: specs["q140_dsir_reweight"].spark(spark, sf_dir).count()
+        )
+        _tok = docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("t")
+        )
+        row["dsir_candidates"] = _tok.count()
+        row["dsir_buckets"] = (
+            _tok.select(
+                F.expr(
+                    "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 256"
+                ).alias("bkt")
+            )
+            .distinct()
+            .count()
+        )
+        assert row["dsir_buckets"] <= 256
+        release_staging()
+        spark.catalog.clearCache()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -996,7 +1133,7 @@ def main() -> None:
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
-        "snapdiff", "fuzzy",
+        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)
