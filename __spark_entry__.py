@@ -5,7 +5,7 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q140`` as of round-13;
+Naming: canonical catalog names (``q01..q141`` as of round-13;
 new queries append past that), in a round-13 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
 entries, so this round exposes ``q136..q139 + q16..q31 + q36 +

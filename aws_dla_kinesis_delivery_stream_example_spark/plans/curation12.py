@@ -1,4 +1,5 @@
-"""Round-13 batch addition (q140): DSIR-style importance reweighting.
+"""Round-13 batch additions (q140 + the q141 streaming twin's batch
+pieces): DSIR-style importance reweighting.
 
 Data Selection with Importance Resampling (Xie et al., 2023) selects
 pretraining documents that RESEMBLE a target domain by estimating,
@@ -26,7 +27,11 @@ hash-checked.
 Conventions: the house md5-60-bit token hash folded mod 256 (the
 q128 register fold geometry) computed JVM-side via conv() — the
 bucket table is CORPUS-INDEPENDENT state (256 rows), which is the
-entire scale story.
+entire scale story. The distribution is factored so q141 can
+maintain the IDENTICAL (bkt, c_all, c_tgt) rows as streaming
+aggregation state (the q128->q129 / q133->q134 twin discipline),
+and the totals are derived FROM the distribution (sums of bucket
+counts), so the 256-row state alone finalizes the whole report.
 """
 
 from __future__ import annotations
@@ -42,111 +47,115 @@ _DSIR_BUCKETS = 256
 _DSIR_TARGET_LANG = "en"
 _DSIR_SELECT_MILLI = 1000  # selected = at-or-above corpus-average affinity
 
+# Shared verbatim by q140 and its streaming twin q141 (the
+# HIST_ORACLE / BLOOM_ORACLE convention): the stream's distribution
+# state must finalize to the identical report row-for-row.
+DSIR_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source, lang,
+               CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bkt
+        FROM tok
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                    AS BIGINT) AS n_tgt
+        FROM b
+    ),
+    dist AS (
+        SELECT bkt,
+               CAST(count(*) AS BIGINT) AS c_all,
+               CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                    AS BIGINT) AS c_tgt
+        FROM b GROUP BY bkt
+    ),
+    score AS (
+        SELECT d.bkt,
+               CAST(1000 * d.c_tgt * t.n_all
+                    // (d.c_all * t.n_tgt) AS BIGINT) AS s
+        FROM dist d, tot t
+    ),
+    doc AS (
+        SELECT b.doc_id, max(b.source) AS source,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(s.s) AS BIGINT) AS imp_sum
+        FROM b JOIN score s USING (bkt)
+        GROUP BY b.doc_id
+    ),
+    pd AS (
+        SELECT doc_id, source,
+               CAST(imp_sum // n_tok AS BIGINT) AS imp_milli
+        FROM doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(imp_milli) // count(*) AS BIGINT) AS mean_imp_milli,
+           CAST(count(*) FILTER (WHERE imp_milli >= {_DSIR_SELECT_MILLI})
+                AS BIGINT) AS n_selected
+    FROM pd GROUP BY source ORDER BY source
+"""
 
-@query(
-    "q140_dsir_reweight",
-    oracle=f"""
-        WITH tok AS (
-            SELECT doc_id, source, lang,
-                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-            FROM documents
-        ),
-        b AS (
-            SELECT doc_id, source, lang,
-                   CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
-                       % {_DSIR_BUCKETS} AS bkt
-            FROM tok
-        ),
-        tot AS (
-            SELECT CAST(count(*) AS BIGINT) AS n_all,
-                   CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
-                        AS BIGINT) AS n_tgt
-            FROM b
-        ),
-        dist AS (
-            SELECT bkt,
-                   CAST(count(*) AS BIGINT) AS c_all,
-                   CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
-                        AS BIGINT) AS c_tgt
-            FROM b GROUP BY bkt
-        ),
-        score AS (
-            SELECT d.bkt,
-                   CAST(1000 * d.c_tgt * t.n_all
-                        // (d.c_all * t.n_tgt) AS BIGINT) AS s
-            FROM dist d, tot t
-        ),
-        doc AS (
-            SELECT b.doc_id, max(b.source) AS source,
-                   CAST(count(*) AS BIGINT) AS n_tok,
-                   CAST(sum(s.s) AS BIGINT) AS imp_sum
-            FROM b JOIN score s USING (bkt)
-            GROUP BY b.doc_id
-        ),
-        pd AS (
-            SELECT doc_id, source,
-                   CAST(imp_sum // n_tok AS BIGINT) AS imp_milli
-            FROM doc
-        )
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(imp_milli) // count(*) AS BIGINT) AS mean_imp_milli,
-               CAST(count(*) FILTER (WHERE imp_milli >= {_DSIR_SELECT_MILLI})
-                    AS BIGINT) AS n_selected
-        FROM pd GROUP BY source ORDER BY source
-    """,
-    description="DSIR-style importance reweighting toward the English "
-    "target stratum: hashed-unigram bucket distributions (md5-60-bit "
-    "mod 256) for target and corpus, per-bucket probability ratio on "
-    "the integer milli floor lattice, per-doc importance = floor-mean "
-    "of its token occurrences' bucket scores, rolled up per source "
-    "with the count selected at >= corpus-average affinity (1000 "
-    "milli) — derives mixture weights FROM the data (vs q67's given "
-    "targets), the Xie et al. 2023 data-selection shape",
-    tags=("llm", "curation"),
-)
-def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: ONE corpus-sized token explode (staged — the two
-    distribution aggs and the scoring join read it; the same cost
-    class as every shingle pass in the dedup family). Everything
-    derived is corpus-INDEPENDENT state: the bucket distribution
-    collapses map-side to <= 256 rows before its exchange, the totals
-    are a 1-row broadcast (crossJoin of a scalar frame, the house
-    exception), and the score table broadcast onto the token frame is
-    256 rows at ANY corpus size — so the per-doc scoring pass never
-    shuffles the corpus (join side is broadcast), and the per-doc agg
-    collapses map-side per doc_id. At 100 TB the bucket table is the
-    piece you persist and re-use across selection runs (it is
-    mergeable: counts add across shards), exactly like the q128
-    registers."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def _dsir_bucket_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, bkt): one row per token OCCURRENCE (DSIR
+    uses counts, not presence), bkt = the house md5-60-bit hash folded
+    mod 256, computed JVM-side (conv stays inside whole-stage codegen;
+    no Python crossing). Works identically on a batch frame and on the
+    unbounded streaming frame (q141)."""
     toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    b = stage(
-        docs.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.explode(toks).alias("t"),
-        ).select(
-            "doc_id",
-            "source",
-            "lang",
-            F.expr(
-                "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
-                f" % {_DSIR_BUCKETS}"
-            ).alias("bkt"),
-        )
+    return df.select(
+        "doc_id", "source", "lang", F.explode(toks).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_DSIR_BUCKETS}"
+        ).alias("bkt"),
     )
-    # staged: the totals agg, the bucket distribution, and the scoring
-    # join each read the exploded token frame once
+
+
+def dsir_distribution(rows: DataFrame) -> DataFrame:
+    """(bkt, c_all, c_tgt): the <= 256-row feature distribution. Counts
+    are linear (commutative + associative), so the same agg serves the
+    batch face and complete-mode streaming state (q141) — any
+    micro-batch split or partial-agg merge order lands on identical
+    rows, the q133/q134 argument."""
     is_tgt = F.col("lang") == _DSIR_TARGET_LANG
-    tot = b.agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.count(F.when(is_tgt, 1)).cast("long").alias("n_tgt"),
-    )
-    dist = b.groupBy("bkt").agg(
+    return rows.groupBy("bkt").agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
         F.count(F.when(is_tgt, 1)).cast("long").alias("c_tgt"),
+    )
+
+
+def _dsir_output(
+    spark: SparkSession,
+    sf_dir: str,
+    dist: DataFrame,
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """Finalize the report from a (bkt, c_all, c_tgt) distribution —
+    batch-built (q140) or drained from streaming state (q141). The
+    TOTALS are derived from the distribution itself (sums of bucket
+    counts), so the 256-row state alone determines the score table;
+    per-doc scoring then joins that broadcast table onto one token
+    pass (``rows``, rebuilt from the batch table when the caller —
+    the streaming twin — doesn't already hold a staged one)."""
+    if rows is None:
+        rows = _dsir_bucket_rows(load_table(spark, sf_dir, "documents"))
+    dist = stage(dist)
+    # staged: the totals agg and the score projection read it; for the
+    # streaming twin this also freezes the drained state
+    tot = dist.agg(
+        F.sum("c_all").cast("long").alias("n_all"),
+        F.sum("c_tgt").cast("long").alias("n_tgt"),
     )
     score = dist.crossJoin(F.broadcast(tot)).select(
         "bkt",
@@ -155,7 +164,7 @@ def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s"),
     )
     doc = (
-        b.join(F.broadcast(score), "bkt")
+        rows.join(F.broadcast(score), "bkt")
         .groupBy("doc_id")
         .agg(
             F.max("source").alias("source"),
@@ -164,7 +173,9 @@ def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pd = doc.select(
-        "doc_id", "source", F.expr("imp_sum div n_tok").cast("long").alias("imp_milli")
+        "doc_id",
+        "source",
+        F.expr("imp_sum div n_tok").cast("long").alias("imp_milli"),
     )
     return (
         pd.groupBy("source")
@@ -179,3 +190,39 @@ def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q140_dsir_reweight",
+    oracle=DSIR_ORACLE,
+    description="DSIR-style importance reweighting toward the English "
+    "target stratum: hashed-unigram bucket distributions (md5-60-bit "
+    "mod 256) for target and corpus, per-bucket probability ratio on "
+    "the integer milli floor lattice, per-doc importance = floor-mean "
+    "of its token occurrences' bucket scores, rolled up per source "
+    "with the count selected at >= corpus-average affinity (1000 "
+    "milli) — derives mixture weights FROM the data (vs q67's given "
+    "targets), the Xie et al. 2023 data-selection shape",
+    tags=("llm", "curation"),
+)
+def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus-sized token explode (staged — the
+    distribution agg and the scoring join read it; the same cost
+    class as every shingle pass in the dedup family). Everything
+    derived is corpus-INDEPENDENT state: the bucket distribution
+    collapses map-side to <= 256 rows before its exchange (staged —
+    the totals and score projections read it), the totals are a 1-row
+    broadcast derived FROM it (crossJoin of a scalar frame, the house
+    exception), and the score table broadcast onto the token frame is
+    256 rows at ANY corpus size — so the per-doc scoring pass never
+    shuffles the corpus (join side is broadcast), and the per-doc agg
+    collapses map-side per doc_id. At 100 TB the bucket table is the
+    piece you persist and re-use across selection runs (it is
+    mergeable: counts add across shards, measured saturating at
+    exactly 256 rows at the 500k-doc rehearsal tier), exactly like
+    the q128 registers — and q141 maintains the SAME rows as
+    streaming aggregation state while the crawl lands."""
+    rows = stage(_dsir_bucket_rows(load_table(spark, sf_dir, "documents")))
+    # staged: the distribution agg and the per-doc scoring join each
+    # read the exploded token frame once
+    return _dsir_output(spark, sf_dir, dsir_distribution(rows), rows=rows)

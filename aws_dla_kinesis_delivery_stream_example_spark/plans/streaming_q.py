@@ -713,3 +713,47 @@ def q136_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
     return bloom_finalize(agg)
+
+
+from .curation12 import DSIR_ORACLE as _DSIR_ORACLE  # noqa: E402 (plans/__init__ imports curation12 first)
+
+
+@query(
+    "q141_streaming_dsir",
+    # identical oracle to q140: the stream's (bkt, c_all, c_tgt) state
+    # must equal the batch distribution row-for-row, and the totals
+    # are derived FROM that state, so both faces finalize identically
+    oracle=_DSIR_ORACLE,
+    description="STREAMING DSIR feature distribution: the q140 hashed-"
+    "unigram bucket table (<= 256 rows x two counters) maintained as "
+    "streaming aggregation state (complete mode, availableNow drain) "
+    "— counts are linear (commutative + associative), so any micro-"
+    "batch split or partial-agg merge order lands on the identical "
+    "distribution, which then finalizes to the same importance report "
+    "as the batch face (q140, identical oracle — the q133/q134 "
+    "convention)",
+    tags=("streaming", "sketch", "llm", "curation"),
+)
+def q141_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection state an INGESTING crawl actually maintains:
+    accumulate the target-vs-corpus feature distribution as documents
+    arrive, then score any candidate set against the frozen state at
+    selection time. State is <= 256 (bkt, c_all, c_tgt) rows —
+    CONSTANT at any ingest volume (the q113/q121/q129/q134/q136
+    constant-state family), and mergeable across shards/streams
+    (counts add). The token explode + bucket hash run scan-side
+    INSIDE the stream (JVM conv(), no Python crossing); each
+    micro-batch collapses map-side before touching state. Linear
+    counts are NOT idempotent, so at-least-once ingestion needs
+    upstream dedup (q51/q83) — q134's documented caveat. The per-doc
+    scoring pass joins the drained state's broadcast score table from
+    one batch pass after the drain (the audit face); at 100 TB that
+    pass runs at selection time over whatever slice is being drawn,
+    against the same frozen state."""
+    from .curation12 import _dsir_bucket_rows, _dsir_output, dsir_distribution
+
+    def op(df):
+        return dsir_distribution(_dsir_bucket_rows(df))
+
+    dist = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
+    return _dsir_output(spark, sf_dir, dist)

@@ -396,14 +396,16 @@ def test_round13_exchange_budgets(spark):
         # verification is shared, which is the point of the pair-level
         # union-then-dedup before the shingle joins.
         ("q139_snm_multipass", 12),
-        # totals agg (1-row) + 256-row bucket-distribution agg (map-
-        # side collapse) + broadcast ships + per-doc agg + per-source
-        # agg + sort (measured 7). The one JOIN in the plan must stay
-        # a BROADCAST of the 256-row score table onto the staged token
-        # frame — pinned separately below — because a sort-merge there
-        # would shuffle the corpus by bucket (256 hot keys: the worst
-        # possible skew) for a table that fits in a closure.
-        ("q140_dsir_reweight", 8),
+        # 256-row bucket-distribution agg (map-side collapse; staged —
+        # the totals and score projections read the 256-row frame, not
+        # the corpus) + broadcast ships + per-doc agg + per-source agg
+        # + sort (measured 6 after the q141 refactor derived totals
+        # FROM the staged distribution). The one JOIN in the plan must
+        # stay a BROADCAST of the 256-row score table onto the staged
+        # token frame — pinned separately below — because a sort-merge
+        # there would shuffle the corpus by bucket (256 hot keys: the
+        # worst possible skew) for a table that fits in a closure.
+        ("q140_dsir_reweight", 7),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

@@ -342,6 +342,19 @@ def test_q140_planted_matches_pure_python_model(spark, dsir_sf_dir):
     assert model["srcA"]["n_selected"] == 2 and model["srcB"]["n_selected"] < 2
 
 
+def test_q141_streaming_dsir_equals_batch_on_planted(spark, dsir_sf_dir):
+    """The streaming face on the planted vocabulary corpus must land
+    on the SAME rows as the pure-python model (and therefore as q140
+    — the q133/q134 stream-equals-batch convention): the drained
+    (bkt, c_all, c_tgt) state finalizes to the identical report."""
+    model, _ = _dsir_model()
+    rows = {
+        r["source"]: r.asDict()
+        for r in SPECS["q141_streaming_dsir"].spark(spark, dsir_sf_dir).collect()
+    }
+    assert rows == model
+
+
 def test_q139_recall_contains_q138(spark, snm_sf_dir):
     """Pass 0 IS q138's sort order, so multi-pass output must be a
     superset of single-pass output on any corpus (checked on the

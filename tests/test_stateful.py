@@ -467,3 +467,61 @@ def test_streaming_bloom_resume_from_checkpoint(spark, tmp_path):
     assert final == want and len(want) > 0
     # the resumed counters strictly extend the pre-crash ones
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+
+
+def test_streaming_dsir_resume_from_checkpoint(spark, tmp_path):
+    """q141's feature-distribution state joins the constant-state
+    family WITH crash-resume evidence in the same round (the
+    q129/q134/q136 lesson): kill between micro-batches, restart from
+    the checkpoint, and the FINAL complete-mode (bkt, c_all, c_tgt)
+    distribution must equal the batch-built one row-for-row. Counts
+    are linear (q134's at-least-once caveat applies), so a state
+    reset shows up as a second-half-only distribution and fails the
+    bit-for-bit compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation12 import (
+        _dsir_bucket_rows,
+        dsir_distribution,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, lang string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            dsir_distribution(_dsir_bucket_rows(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: (r[1], r[2])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("dsir_resume_1")
+    assert partial, "first drain built no distribution"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("dsir_resume_2")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in dsir_distribution(_dsir_bucket_rows(docs)).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed distribution strictly extends the pre-crash one:
+    # counts can only grow, and the state never exceeds 256 rows
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+    assert set(partial) <= set(final) and len(final) <= 256
+    assert all(final[k][0] >= v[0] for k, v in partial.items())
