@@ -415,6 +415,37 @@ def test_round13_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
+def test_snm_rank_has_no_corpus_sized_single_partition(spark):
+    """The distributed-rank claim as a plan pin: snm_global_rank must
+    (a) range-partition the corpus (the RangePartitioner contract the
+    design leans on), (b) compute the corpus row_number WINDOW
+    partitioned by pid — a bare row_number() OVER (ORDER BY key) plans
+    an unpartitioned window over the whole corpus, the one-task
+    funnel naive SNM ports hit at scale — and (c) contain EXACTLY ONE
+    SinglePartition exchange: the |partitions|-row offset frame
+    (8 rows, a schema constant), nothing corpus-sized."""
+    import re
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation11 import (
+        snm_global_rank,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        snm_global_rank(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower(), "corpus rank lost its range exchange"
+    assert plan.count("SinglePartition") == 1, plan
+    rn = re.search(r"row_number\(\) windowspecdefinition\(([a-z_]+)#", plan)
+    assert rn and rn.group(1) == "pid", (
+        "corpus row_number window is not partitioned by pid — the "
+        "one-task corpus funnel"
+    )
+
+
 def test_q140_score_join_is_broadcast_only(spark):
     """q140's scoring join (256-row score table onto the corpus-sized
     token frame) must plan as a BroadcastHashJoin and never sort-merge:
