@@ -5,7 +5,7 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q141`` as of round-13;
+Naming: canonical catalog names (``q01..q142`` as of round-13;
 new queries append past that), in a round-13 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
 entries, so this round exposes ``q136..q139 + q16..q31 + q36 +
@@ -19,7 +19,7 @@ q139's seat).  Names are NOT aliased — same canonical ``qNN``,
 same QuerySpec, same oracle; only dict insertion order moves.
 q01..q15 + q32..q35 + q48..q58 + q59..q108 + q127..q135 keep fresh
 r11/r12 rows, so nothing loses hard coverage.  Queries added
-DURING round 13 (q140+) sort after the window and are
+DURING round 13 (q140..q142) sort after the window and are
 driver-uncovered this round (CORRECTNESS_local-only), slated for a
 later window.  The per-round ledger lives in README §Rotation and
 the full-catalog artifact is CORRECTNESS_local_r{N}.json every

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..operators.staging import stage
 from ..sources.tables import load_table
 from .catalog import query
+from .curation5 import calibration_oracle
 
 _DSIR_BUCKETS = 256
 _DSIR_TARGET_LANG = "en"
@@ -226,3 +227,55 @@ def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged: the distribution agg and the per-doc scoring join each
     # read the exploded token frame once
     return _dsir_output(spark, sf_dir, dsir_distribution(rows), rows=rows)
+
+
+# --------------------------------------------------------------- q142
+
+# Sampled-calibration stratum: the q60 multiplicative hash, mod 2,
+# bucket 0 — the largest proper stratum, non-vacuous (n_truth > 0) at
+# every committed SF (pinned by test; mod 4 already empties the truth
+# set at sf0.01's geometry).
+_Q142_MOD = 2
+_Q142_BUCKET = 0
+
+
+@query(
+    "q142_sampled_calibration",
+    # q114's oracle verbatim, restricted to the stratum in the ONE
+    # place the corpus enters (the template's first CTE) — the audited
+    # face and the sampled mode cannot drift apart
+    oracle=calibration_oracle(
+        "WHERE (doc_id * 2654435761) % 2147483647 % "
+        f"{_Q142_MOD} = {_Q142_BUCKET}"
+    ),
+    description="q114's MinHash estimator calibration run the way a "
+    "100 TB deployment actually runs it — on a deterministic "
+    "multiplicative-hash document stratum (q60 split convention, mod "
+    "2 bucket 0): the cap-free exact-Jaccard truth side is the one "
+    "corpus-quadratic piece, so at scale you sample documents (not "
+    "pairs, keeping both generators' semantics intact within the "
+    "stratum) and size bands/hashes from the sampled recall/"
+    "precision; identical SQL template as q114 with the stratum "
+    "predicate injected at the corpus scan",
+    tags=("llm", "dedup", "audit"),
+)
+def q142_sampled_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the stratum predicate is integer arithmetic on
+    doc_id applied AT THE SCAN, before shingling, signatures, or any
+    exchange — everything downstream (the two candidate generators
+    and their pair-set-sized audit join, q114's plan) runs on
+    |corpus| / sample_mod rows. Sampling documents keeps the audit
+    unbiased under hash-random strata (within-stratum pairs only —
+    the standard LSH calibration protocol, the tradeoff
+    minhash_calibration_sampled documents). At 100 TB sample_mod is
+    the knob: 1000 for a 0.1% pilot; the catalog pins mod 2 so the
+    oracle's truth set stays non-vacuous at bench SFs."""
+    from ..operators.dedup import minhash_calibration_sampled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_calibration_sampled(
+        docs,
+        threshold=0.5,
+        sample_mod=_Q142_MOD,
+        sample_bucket=_Q142_BUCKET,
+    )

@@ -260,12 +260,20 @@ def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_heavy_hitters(docs, "text", k=20)
 
 
-@query(
-    "q114_minhash_calibration",
-    oracle="""
+def calibration_oracle(doc_where: str = "") -> str:
+    """q114's DuckDB oracle as a template: ``doc_where`` restricts the
+    documents frame (the q142 sampled-stratum variant injects the
+    multiplicative-hash predicate there; empty = the full corpus,
+    byte-for-byte q114's original semantics). One template, two
+    catalog queries — the audited face and its 100 TB sampled mode
+    cannot drift apart."""
+    return _CAL_SQL.replace("{doc_where}", doc_where)
+
+
+_CAL_SQL = """
         WITH w AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-            FROM documents
+            FROM documents {doc_where}
         ),
         -- exact-Jaccard truth over DISTINCT word-5-gram shingles (the
         -- cap-free q26 semantics; strings vs 60-bit hashes, the q99
@@ -352,7 +360,12 @@ def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND ej_est_milli IS NOT NULL), 0) AS BIGINT)
                    AS max_est_err_milli
         FROM j
-    """,
+    """
+
+
+@query(
+    "q114_minhash_calibration",
+    oracle=calibration_oracle(),
     description="MinHash estimator calibration report: the q27 LSH "
     "candidate set audited against the cap-free exact-Jaccard truth "
     "(q26 semantics) in ONE summary row — recall, precision, and the "

@@ -342,6 +342,20 @@ def test_q140_planted_matches_pure_python_model(spark, dsir_sf_dir):
     assert model["srcA"]["n_selected"] == 2 and model["srcB"]["n_selected"] < 2
 
 
+def test_q142_stratum_is_proper_and_non_vacuous(spark):
+    """q142's mod-2/bucket-0 stratum must keep the oracle's truth set
+    NON-VACUOUS at smoke SF (n_truth > 0 — mod 4 already empties it at
+    sf0.01's geometry, which is why the catalog pins mod 2) while
+    being a PROPER stratum (n_truth strictly below the full q114
+    audit's — the sampled mode must actually sample)."""
+    from .conftest import SF_SMOKE
+
+    full = SPECS["q114_minhash_calibration"].spark(spark, SF_SMOKE).collect()[0]
+    samp = SPECS["q142_sampled_calibration"].spark(spark, SF_SMOKE).collect()[0]
+    assert samp["n_truth"] > 0 and samp["n_candidates"] > 0
+    assert samp["n_truth"] < full["n_truth"]
+
+
 def test_q141_streaming_dsir_equals_batch_on_planted(spark, dsir_sf_dir):
     """The streaming face on the planted vocabulary corpus must land
     on the SAME rows as the pure-python model (and therefore as q140
