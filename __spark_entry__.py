@@ -5,25 +5,25 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q142`` as of round-13;
-new queries append past that), in a round-13 WINDOW order: the
+Naming: canonical catalog names (``q01..q143`` as of round-14;
+new queries append past that), in a round-14 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q136..q139 + q16..q31 + q36 +
-q109..q126 + q37..q47`` first — the round-12/13 additions
-q136..q139 (never driver-verified; the round-8 principle:
-never-verified beats stale-but-verified) plus the 35 oldest r10
-rows (q16..q31, q36, q109..q126) topped up with the next-oldest
-r11 rows (q37..q47; q48 stays on its r11 row — it is the one entry
-the round-12 verdict's q37..q48 top-up prescription loses to
-q139's seat).  Names are NOT aliased — same canonical ``qNN``,
-same QuerySpec, same oracle; only dict insertion order moves.
-q01..q15 + q32..q35 + q48..q58 + q59..q108 + q127..q135 keep fresh
-r11/r12 rows, so nothing loses hard coverage.  Queries added
-DURING round 13 (q140..q142) sort after the window and are
-driver-uncovered this round (CORRECTNESS_local-only), slated for a
-later window.  The per-round ledger lives in README §Rotation and
-the full-catalog artifact is CORRECTNESS_local_r{N}.json every
-round.
+entries, so this round exposes ``q140..q142 + q48..q58 + q77..q95
++ q127..q131 + q32..q35 + q59..q66`` first — the round-13
+additions q140..q142 (never driver-verified; the round-8
+principle: never-verified beats stale-but-verified) plus ALL 39
+remaining r11 rows (q48..q58, q77..q95, q127..q131, q32..q35)
+topped up with the 8 next-oldest r12 rows (q59..q66).  This is
+exactly the round-13 verdict's Next #1 prescription and clears the
+last never-driver-verified set.  Names are NOT aliased — same
+canonical ``qNN``, same QuerySpec, same oracle; only dict
+insertion order moves.  q01..q15 + q67..q76 + q96..q126 +
+q132..q139 keep fresh r12/r13 rows, so nothing loses hard
+coverage.  Queries added DURING round 14 (q143+) sort after the
+window and are driver-uncovered this round (CORRECTNESS_local-
+only), slated for a later window.  The per-round ledger lives in
+README §Rotation and the full-catalog artifact is
+CORRECTNESS_local_r{N}.json every round.
 """
 
 from __future__ import annotations
@@ -36,25 +36,26 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 13; round-12 verdict "Next round #3"):
-# q136..q139 (round-12/13 additions, never driver-verified) +
-# q16..q31 + q36 + q109..q126 (35 oldest r10 rows) + q37..q47 (11
-# next-oldest r11 rows).  Exactly 50 entries.
+# of catalog numbers (round 14; round-13 verdict "Next round #1"):
+# q140..q142 (round-13 additions, never driver-verified) + q48..q58 +
+# q77..q95 + q127..q131 + q32..q35 (all 39 remaining r11 rows) +
+# q59..q66 (8 next-oldest r12 rows).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(136, 140))
-    + list(range(16, 32))
-    + [36]
-    + list(range(109, 127))
-    + list(range(37, 48))
+    list(range(140, 143))
+    + list(range(48, 59))
+    + list(range(77, 96))
+    + list(range(127, 132))
+    + list(range(32, 36))
+    + list(range(59, 67))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-13 window order: the explicit ``_WINDOW`` list first (in
-    list position, NOT numeric order — q136..q139 lead so a mid-round
-    catalog addition q140+ cannot evict them), then everything else in
+    """Round-14 window order: the explicit ``_WINDOW`` list first (in
+    list position, NOT numeric order — q140..q142 lead so a mid-round
+    catalog addition q143+ cannot evict them), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
     sorted() would slot q100 between q10 and q11)."""
     m = re.match(r"q(\d+)", name)
@@ -73,11 +74,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-13 window order (module docstring):
-    q136..q139 + q16..q31 + q36 + q109..q126 + q37..q47 first, so the
-    driver's 50-entry correctness window covers every
-    never-driver-verified plan plus the oldest stale rows, then the
-    rest of the catalog in numeric order.
+    Insertion order is the round-14 window order (module docstring):
+    q140..q142 + q48..q58 + q77..q95 + q127..q131 + q32..q35 +
+    q59..q66 first, so the driver's 50-entry correctness window covers
+    every never-driver-verified plan plus the oldest stale rows, then
+    the rest of the catalog in numeric order.
     """
     specs = all_specs()
     return {

@@ -41,17 +41,18 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-13 window shift (README §Rotation; round-12 verdict Next
-    # #3): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q136..q139 +
-    # q16..q31 + q36 + q109..q126 + q37..q47 FIRST so the driver's
-    # 50-entry correctness window earns hard rows for the round-12/13
-    # additions (never driver-verified) while refreshing the 35
-    # oldest r10 rows and 11 of the oldest r11 rows. The tail is in
-    # NUMERIC query order (lexicographic would slot q100 between q10
-    # and q11). No aNN aliases. Round-13 additions (q140+) sort after
-    # the window. The sort key is the entry module's own (one source
-    # of truth); the window invariant is asserted independently below.
+    # Round-14 window shift (README §Rotation; round-13 verdict Next
+    # #1): exposed names are the canonical catalog names, but
+    # insertion order puts the EXPLICIT window list q140..q142 +
+    # q48..q58 + q77..q95 + q127..q131 + q32..q35 + q59..q66 FIRST so
+    # the driver's 50-entry correctness window earns hard rows for the
+    # round-13 additions (never driver-verified) while refreshing ALL
+    # 39 remaining r11 rows plus the 8 next-oldest r12 rows. The tail
+    # is in NUMERIC query order (lexicographic would slot q100 between
+    # q10 and q11). No aNN aliases. Round-14 additions (q143+) sort
+    # after the window. The sort key is the entry module's own (one
+    # source of truth); the window invariant is asserted independently
+    # below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
@@ -64,18 +65,20 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(136, 140))
-        + list(range(16, 32))
-        + [36]
-        + list(range(109, 127))
-        + list(range(37, 48))
+        list(range(140, 143))
+        + list(range(48, 59))
+        + list(range(77, 96))
+        + list(range(127, 132))
+        + list(range(32, 36))
+        + list(range(59, 67))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-13 window (an EXPLICIT bounded list, so mid-round catalog
-    # additions q140+ cannot silently evict its tail).
+    # round-14 window (an EXPLICIT bounded list, so mid-round catalog
+    # additions q143+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q136..q139 + q16..q31 + q36 + q109..q126 + q37..q47"
+        "driver window is not q140..q142 + q48..q58 + q77..q95 + "
+        "q127..q131 + q32..q35 + q59..q66"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"
