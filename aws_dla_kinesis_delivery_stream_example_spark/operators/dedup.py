@@ -918,8 +918,16 @@ def minhash_calibration_sampled(
             f"sample_bucket must be in [0, {sample_mod}), got {sample_bucket}"
         )
     if sample_mod > 1:
+        # Reduce id mod P BEFORE multiplying (round-13 advisor): the
+        # raw product overflows int64 past id ~3.47e9 — Spark would
+        # wrap silently (dropping those docs from every bucket) while
+        # DuckDB raises; the reduced form is mathematically identical
+        # and peaks at (P-1)*MULT ~ 5.7e18, inside int64.
         bucket = (
-            (F.col(id_col) * _CAL_SAMPLE_MULT) % _CAL_SAMPLE_MOD % sample_mod
+            (F.col(id_col) % _CAL_SAMPLE_MOD)
+            * _CAL_SAMPLE_MULT
+            % _CAL_SAMPLE_MOD
+            % sample_mod
         )
         docs = docs.filter(bucket == sample_bucket)
     return minhash_calibration_report(docs, id_col, text_col, threshold)

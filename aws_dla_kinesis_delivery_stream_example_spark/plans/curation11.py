@@ -239,7 +239,12 @@ _SNM_KEY_N = 4
 _SNM_W = 3
 _SNM_SH_N = 5
 _SNM_THRESH = 500
-_SNM_PARTS = 8  # range-partition width for the distributed rank
+# Range-partition width for the distributed rank. 8 is a BENCH-HOST
+# constant (local[32], sf<=0.1); at cluster scale this knob should
+# track cluster width (~2-3x executor cores, like
+# spark.sql.shuffle.partitions) so each range holds a memory-sized
+# slice — the offset frame stays |partitions| rows either way.
+_SNM_PARTS = 8
 
 
 def _snm_key(pass_id: int = 0):
@@ -365,7 +370,10 @@ def q138_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions meets exactly once and the join is co-partitioned hash,
     not theta. Verification joins candidates to the staged shingle
     frame on doc then (doc, h) — per-pair cost bounded by shingle
-    counts, the same class as q26's LSH verification. Total: linear
+    counts, the same class as q26's LSH verification; the per-doc
+    size join is deliberately UNHINTED (`sizes` is one row per
+    document, corpus-sized at 100 TB): AQE broadcasts it at bench SF
+    and shuffle-joins the pair-bounded frame at scale. Total: linear
     candidates, zero corpus-sized broadcast, zero single-partition
     stages."""
     docs = load_table(spark, sf_dir, "documents")
@@ -401,13 +409,18 @@ def q138_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("inter_sh"),
         )
     )
+    # NO broadcast hint on the size joins: `sizes` is one row per
+    # DOCUMENT — corpus-sized at 100 TB, where a forced broadcast is a
+    # driver OOM. Unhinted, AQE picks broadcast at bench SF (tiny) and
+    # a shuffle join on the pair-bounded `inter` frame at scale
+    # (round-13 advisor finding).
     scored = (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))),
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))),
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
         .select(
@@ -521,8 +534,9 @@ def q139_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so a pair found by both passes is verified once, not twice.
     Total cost is P x the single-pass linear candidate bill plus one
     dedup exchange; recall strictly contains q138's (pass 0 IS q138's
-    sort). Nothing corpus-sized is broadcast and no stage is
-    single-partition."""
+    sort). The per-doc size join is unhinted, as in q138 (AQE:
+    broadcast at bench SF, shuffle at scale). Nothing corpus-sized is
+    broadcast and no stage is single-partition."""
     docs = load_table(spark, sf_dir, "documents")
     per_pass = []
     for p in range(_SNM_PASSES):
@@ -568,13 +582,15 @@ def q139_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("inter_sh"),
         )
     )
+    # Unhinted size joins, same as q138: `sizes` is corpus-sized at
+    # 100 TB — AQE picks broadcast at bench SF, shuffle join at scale.
     scored = (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))),
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))),
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
         .select(

@@ -885,7 +885,13 @@ def q59_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)):
 # engine-independent integer arithmetic, reproducible in any SQL engine
-# (unlike xxhash64/md5-hex-to-int conversions).
+# (unlike xxhash64/md5-hex-to-int conversions). ALWAYS reduce doc_id
+# mod _SPLIT_MOD BEFORE multiplying (round-13 advisor): the raw
+# product overflows int64 once doc_id exceeds ~3.47e9 — Spark
+# (non-ANSI) would wrap silently while DuckDB raises, breaking the
+# any-engine-reproducible claim exactly at the 100 TB id range. The
+# reduced form ((doc_id % P) * M) % P is mathematically identical and
+# peaks at (P-1)*M ~ 5.7e18, inside int64 for all non-negative ids.
 _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 2147483647
 
@@ -895,7 +901,7 @@ _SPLIT_MOD = 2147483647
     oracle=f"""
         WITH b AS (
             SELECT doc_id,
-                   (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS bucket,
+                   (doc_id % {_SPLIT_MOD}) * {_SPLIT_MULT} % {_SPLIT_MOD} % 100 AS bucket,
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok
             FROM documents
         )
@@ -912,7 +918,7 @@ _SPLIT_MOD = 2147483647
 )
 def q60_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 100
+    bucket = (F.col("doc_id") % _SPLIT_MOD) * _SPLIT_MULT % _SPLIT_MOD % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -964,7 +970,7 @@ def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT lang,
                count(*) AS n_total,
-               CAST(sum(CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 1000 < 100
+               CAST(sum(CASE WHEN (doc_id % {_SPLIT_MOD}) * {_SPLIT_MULT} % {_SPLIT_MOD} % 1000 < 100
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM documents
         GROUP BY lang ORDER BY lang
@@ -976,7 +982,9 @@ def q61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q62_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sampled = ((F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 1000 < 100).cast("long")
+    sampled = ((F.col("doc_id") % _SPLIT_MOD) * _SPLIT_MULT % _SPLIT_MOD % 1000 < 100).cast(
+        "long"
+    )
     return (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_total"), F.sum(sampled).alias("n_sampled"))
