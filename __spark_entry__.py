@@ -5,7 +5,7 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q143`` as of round-14;
+Naming: canonical catalog names (``q01..q144`` as of round-14;
 new queries append past that), in a round-14 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
 entries, so this round exposes ``q140..q142 + q48..q58 + q77..q95

@@ -19,10 +19,12 @@ the integer milli floor lattice — score(b) = 1000 * c_tgt[b] * n_all
 its token occurrences' scores. Monotone in the same direction as the
 paper's per-token likelihood ratio, exactly reproducible in any
 engine with 64-bit integers. At true 100 TB counts the raw triple
-product can exceed int64; production folds counts to per-mille
-shares per bucket first (a 256-row transform) — bench counts stay
-far inside the lattice, so here the exact-count form is kept and
-hash-checked.
+product can exceed int64; production folds the bucket counts first
+(a 256-row transform) — EXECUTABLE here as ``dsir_distribution_milli``
+/ ``dsir_reweight_milli`` (fold k = max(1, n_all div 2^24), identity
+at bench counts, pinned equal to q140 by planted test). The catalog
+faces keep the exact-count form, which bench counts never push past
+the lattice, and hash-check it.
 
 Conventions: the house md5-60-bit token hash folded mod 256 (the
 q128 register fold geometry) computed JVM-side via conv() — the
@@ -78,8 +80,10 @@ DSIR_ORACLE = f"""
     ),
     score AS (
         SELECT d.bkt,
-               CAST(1000 * d.c_tgt * t.n_all
-                    // (d.c_all * t.n_tgt) AS BIGINT) AS s
+               CAST(CASE WHEN t.n_tgt > 0
+                         THEN 1000 * d.c_tgt * t.n_all
+                              // (d.c_all * t.n_tgt)
+                         ELSE 0 END AS BIGINT) AS s
         FROM dist d, tot t
     ),
     doc AS (
@@ -136,21 +140,81 @@ def dsir_distribution(rows: DataFrame) -> DataFrame:
     )
 
 
-def _dsir_output(
-    spark: SparkSession,
-    sf_dir: str,
-    dist: DataFrame,
-    rows: DataFrame | None = None,
-) -> DataFrame:
-    """Finalize the report from a (bkt, c_all, c_tgt) distribution —
-    batch-built (q140) or drained from streaming state (q141). The
-    TOTALS are derived from the distribution itself (sums of bucket
-    counts), so the 256-row state alone determines the score table;
-    per-doc scoring then joins that broadcast table onto one token
-    pass (``rows``, rebuilt from the batch table when the caller —
-    the streaming twin — doesn't already hold a staged one)."""
-    if rows is None:
-        rows = _dsir_bucket_rows(load_table(spark, sf_dir, "documents"))
+# The milli fold's target magnitude: folded totals stay <= ~2^24 + 256,
+# so the score's triple product 1000 * c_tgt' * n_all' peaks at
+# ~1000 * 2^48 ~ 2.8e17 — inside int64 with 30x headroom — at ANY
+# corpus size, while a 256-bucket distribution keeps ~2^24/256 = 65k
+# quanta per bucket (relative quantization ~1.5e-5, invisible on the
+# milli score lattice).
+_DSIR_FOLD_LIMIT = 1 << 24
+
+
+def dsir_distribution_milli(dist: DataFrame) -> DataFrame:
+    """The 100 TB int64-headroom mode of the DSIR distribution,
+    executable (round-13 verdict Next #4): fold the (c_all, c_tgt)
+    bucket counts by k = max(1, n_all div 2^24) — a 256-row transform
+    deriving k from the distribution's OWN total — before the ratio,
+    so ``dsir_score_table``'s triple product stays inside int64 at
+    true 100 TB token counts (raw, it overflows once n_all passes
+    ~3e6 * sqrt(corpus skew); the module docstring's documented
+    deviation, now code instead of narration).
+
+    Equivalence pin (the ``bloom_decontam_scale`` /
+    ``minhash_calibration_sampled`` discipline): at bench counts
+    n_all < 2^24, so k == 1 and the fold is the IDENTITY — the
+    planted test pins ``dsir_reweight_milli`` == q140 column-for-
+    column, and a second planted test drives near-int64-max synthetic
+    counts through the fold, asserting no wrap (scores equal the
+    pure-python big-int model of the folded lattice) and <= 3-milli
+    drift from the exact big-int score."""
+    dist = stage(dist)
+    # staged: the fold-factor agg and the folded projection read it
+    tot = dist.agg(F.sum("c_all").cast("long").alias("n_all_raw"))
+    k = F.greatest(
+        F.lit(1).cast("long"), F.expr(f"n_all_raw div {_DSIR_FOLD_LIMIT}")
+    )
+    return dist.crossJoin(F.broadcast(tot.select(k.alias("fold_k")))).select(
+        "bkt",
+        F.expr("c_all div fold_k").cast("long").alias("c_all"),
+        F.expr("c_tgt div fold_k").cast("long").alias("c_tgt"),
+    )
+
+
+def dsir_reweight_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q140's at-scale mode, executable: the identical report built
+    through ``dsir_distribution_milli``'s folded lattice. Library
+    entry point, NOT a catalog query — at bench counts the fold is
+    the identity (k == 1), so the catalog face q140 is strictly more
+    informative; this exists so the int64-headroom story is code the
+    planted pin can hold still (the ``bloom_decontam_scale``
+    convention)."""
+    rows = stage(_dsir_bucket_rows(load_table(spark, sf_dir, "documents")))
+    # staged: the distribution agg and the per-doc scoring join each
+    # read the exploded token frame once (q140's shape)
+    return _dsir_output(
+        spark,
+        sf_dir,
+        dsir_distribution_milli(dsir_distribution(rows)),
+        rows=rows,
+    )
+
+
+def dsir_score_table(dist: DataFrame) -> DataFrame:
+    """(bkt, s): the per-bucket milli ratio scores from a (bkt, c_all,
+    c_tgt) distribution — exact (q140/q141) or milli-folded
+    (``dsir_distribution_milli``). The TOTALS are derived from the
+    distribution itself (sums of bucket counts), so the 256-row frame
+    alone determines the score table.
+
+    Empty/underflow conventions (round-13 advisor + the milli fold):
+    a corpus with ZERO target-language tokens has no measurable
+    affinity — every score is 0 (so imp_milli = 0 < the 1000
+    selection bar: nothing selected) instead of Spark
+    NULL-vs-DuckDB-error divergence on the 0/0 ratio; a bucket whose
+    folded mass underflows to c_all = 0 (possible only under the
+    milli fold, impossible for the exact groupBy output) likewise
+    scores 0. Mirrored verbatim in DSIR_ORACLE's CASE (where only the
+    n_tgt arm is reachable)."""
     dist = stage(dist)
     # staged: the totals agg and the score projection read it; for the
     # streaming twin this also freezes the drained state
@@ -158,12 +222,33 @@ def _dsir_output(
         F.sum("c_all").cast("long").alias("n_all"),
         F.sum("c_tgt").cast("long").alias("n_tgt"),
     )
-    score = dist.crossJoin(F.broadcast(tot)).select(
+    return dist.crossJoin(F.broadcast(tot)).select(
         "bkt",
-        F.expr("1000 * c_tgt * n_all div (c_all * n_tgt)")
+        F.when(
+            (F.col("n_tgt") > 0) & (F.col("c_all") > 0),
+            F.expr("1000 * c_tgt * n_all div (c_all * n_tgt)"),
+        )
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("s"),
     )
+
+
+def _dsir_output(
+    spark: SparkSession,
+    sf_dir: str,
+    dist: DataFrame,
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """Finalize the report from a (bkt, c_all, c_tgt) distribution —
+    batch-built (q140) or drained from streaming state (q141):
+    per-doc scoring joins the broadcast ``dsir_score_table`` onto one
+    token pass (``rows``, rebuilt from the batch table when the
+    caller — the streaming twin — doesn't already hold a staged
+    one)."""
+    if rows is None:
+        rows = _dsir_bucket_rows(load_table(spark, sf_dir, "documents"))
+    score = dsir_score_table(dist)
     doc = (
         rows.join(F.broadcast(score), "bkt")
         .groupBy("doc_id")
@@ -222,7 +307,10 @@ def q140_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable: counts add across shards, measured saturating at
     exactly 256 rows at the 500k-doc rehearsal tier), exactly like
     the q128 registers — and q141 maintains the SAME rows as
-    streaming aggregation state while the crawl lands."""
+    streaming aggregation state while the crawl lands. This batch
+    face is replay-safe (deterministic re-aggregation over a static
+    snapshot); the at-least-once linear-count caveat documented on
+    q141 (cf. q51/q83) applies only to the streaming twin."""
     rows = stage(_dsir_bucket_rows(load_table(spark, sf_dir, "documents")))
     # staged: the distribution agg and the per-doc scoring join each
     # read the exploded token frame once
@@ -243,9 +331,11 @@ _Q142_BUCKET = 0
     "q142_sampled_calibration",
     # q114's oracle verbatim, restricted to the stratum in the ONE
     # place the corpus enters (the template's first CTE) — the audited
-    # face and the sampled mode cannot drift apart
+    # face and the sampled mode cannot drift apart. doc_id reduced mod
+    # P BEFORE the multiply (round-13 advisor: the raw product
+    # overflows int64 past id ~3.47e9; the reduced form is identical).
     oracle=calibration_oracle(
-        "WHERE (doc_id * 2654435761) % 2147483647 % "
+        "WHERE (doc_id % 2147483647) * 2654435761 % 2147483647 % "
         f"{_Q142_MOD} = {_Q142_BUCKET}"
     ),
     description="q114's MinHash estimator calibration run the way a "

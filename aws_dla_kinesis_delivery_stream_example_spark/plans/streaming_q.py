@@ -757,3 +757,45 @@ def q141_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dist = _stream_documents_closed(spark, sf_dir, op, "complete", partitions="2")
     return _dsir_output(spark, sf_dir, dist)
+
+
+from .curation13 import PII_ORACLE as _PII_ORACLE  # noqa: E402 (plans/__init__ imports curation13 first)
+
+
+@query(
+    "q144_streaming_pii",
+    # identical oracle to q143: the stream's |sources| x 6 counter
+    # state must equal the batch counters row-for-row, and the rate is
+    # derived FROM that state, so both faces finalize identically
+    oracle=_PII_ORACLE,
+    description="STREAMING PII audit: q143's per-source counter table "
+    "(n_docs / docs_with_pii / per-detector matches / post-redaction "
+    "residual — six LINEAR counters) maintained as complete-mode "
+    "streaming aggregation state while documents arrive, finalized to "
+    "the identical report from the drained state alone (identical "
+    "oracle — the q133/q134 / q140/q141 twin convention); this is the "
+    "scrub-at-ingestion shape: the reference pipeline's transform "
+    "stage is exactly where a production PII rewrite runs in flight",
+    tags=("streaming", "llm", "curation"),
+)
+def q144_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: detectors + redaction + residual re-scan run
+    scan-side INSIDE the stream (JVM regexp, zero Python crossings);
+    each micro-batch collapses map-side to |sources| rows before
+    touching state, so state is |sources| x 6 BIGINTs — CONSTANT at
+    any ingest volume (the q113/q121/q129/q134/q136/q141
+    constant-state family), mergeable across shards (all counters
+    linear). Linear counts are NOT idempotent, so at-least-once
+    ingestion needs upstream dedup (q51/q83) — q134's documented
+    caveat. The planted-PII stratum is applied inside the stream the
+    same way q143 plants it at the scan, so stream == batch is
+    checkable row-for-row."""
+    from .curation13 import _pii_augment, pii_counters, pii_finalize
+
+    def op(df):
+        return pii_counters(_pii_augment(df))
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return pii_finalize(state)

@@ -546,10 +546,21 @@ def extreme_tier_rehearsal(
     _release()
     spark.catalog.clearCache()
 
+    # round-14: q143 PII audit at the extreme tier — one codegen scan,
+    # candidates := docs (linear by construction), state = |sources|.
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation13 import (
+        q143_pii_audit as _q143,
+    )
+
+    _, row["pii_sec"] = timed(lambda: _q143(spark, tier_dir).count())
+    row["pii_candidates"] = row["n_docs"]
+    _release()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
         for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite",
-                   "quantann", "fuzzy", "snm", "dsir"):
+                   "quantann", "fuzzy", "snm", "dsir", "pii"):
             if f"{op}_candidates" not in ref_row:
                 continue
             c_lo = max(ref_row[f"{op}_candidates"], 1)
@@ -1119,6 +1130,21 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # round-14: q143/q144 PII audit — one scan-side codegen pass,
+        # |sources| x 6 counter state. candidates := docs (trivially
+        # linear; recorded so the newest family member curves next to
+        # the rest), state bound asserted == |sources|.
+        _, row["pii_sec"] = timed(
+            lambda: specs["q143_pii_audit"].spark(spark, sf_dir).count()
+        )
+        row["pii_candidates"] = row["n_docs"]
+        row["pii_state_rows"] = (
+            specs["q143_pii_audit"].spark(spark, sf_dir).count()
+        )
+        assert row["pii_state_rows"] == docs.select("source").distinct().count()
+        release_staging()
+        spark.catalog.clearCache()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -1133,7 +1159,7 @@ def main() -> None:
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
-        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir",
+        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

@@ -106,6 +106,12 @@ def test_exchange_budgets_hold(spark):
         # the cluster-resolution loop runs eagerly and checkpoints, so
         # it is not part of this plan
         ("q94_dedup_survivors", 4),
+        # q143 (round 14): plant + 3 detectors + chained redaction +
+        # residual re-scan are ONE scan-side codegen pass; the only
+        # exchanges are the |sources|-row agg + final sort (measured
+        # 2). Zero Python crossings. A third exchange means the
+        # corpus started shuffling for a projection-only audit.
+        ("q143_pii_audit", 2),
     ):
         plan = plan_of(spark, name)
         n = plan.count("Exchange")
@@ -384,18 +390,23 @@ def test_round13_exchange_budgets(spark):
         # per-range window + 8-row offset broadcast) is excluded by
         # staging; above it: band join (probe explode ships 2x a
         # 3-column frame, co-partitioned hash on b) + candidate agg +
-        # the two shingle-verification probes + pair agg + 2 broadcast
-        # size joins + final sort (measured 9). A regression that
-        # theta-joins grank ranges instead of the band equi-join, or
-        # re-shuffles the corpus-sized shingle frame per probe, blows
-        # this immediately.
-        ("q138_sorted_neighborhood", 10),
+        # the two shingle-verification probes + pair agg + 2 UNHINTED
+        # size joins (round-13 advisor: `sizes` is corpus-sized at
+        # 100 TB, so no forced broadcast — Catalyst/AQE broadcasts at
+        # bench SF from the staged frame's known tiny stats) + final
+        # sort (measured 9; budget +2 allows AQE swapping both size
+        # broadcasts for shuffle joins, +1 exchange each). A
+        # regression that theta-joins grank ranges instead of the
+        # band equi-join, or re-shuffles the corpus-sized shingle
+        # frame per probe, blows this immediately.
+        ("q138_sorted_neighborhood", 11),
         # 2 passes x (band join + explode ship) + the cross-pass pair
-        # dedup agg + one verification (same shape as q138's tail)
-        # (measured 11). Only +2 over q138 for the second pass: the
-        # verification is shared, which is the point of the pair-level
+        # dedup agg + one verification (same shape as q138's tail,
+        # same unhinted size joins) (measured 11; +2 swap headroom).
+        # Only +2 over q138 for the second pass: the verification is
+        # shared, which is the point of the pair-level
         # union-then-dedup before the shingle joins.
-        ("q139_snm_multipass", 12),
+        ("q139_snm_multipass", 13),
         # 256-row bucket-distribution agg (map-side collapse; staged —
         # the totals and score projections read the 256-row frame, not
         # the corpus) + broadcast ships + per-doc agg + per-source agg

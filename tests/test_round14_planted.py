@@ -1,0 +1,249 @@
+"""Round-14 planted coverage:
+
+1. The DSIR int64-headroom milli fold (``dsir_distribution_milli`` /
+   ``dsir_reweight_milli``; round-13 verdict Next #4): identity at
+   bench counts (pinned column-for-column against q140, the
+   ``bloom_decontam_scale`` discipline), and NO int64 wrap at
+   near-int64-max synthetic counts — Spark's folded scores must equal
+   a pure-python BIG-INT model of the folded lattice exactly, and sit
+   within 3 milli of the exact big-int score the unfolded form cannot
+   compute inside int64.
+2. The DSIR empty-target convention (round-13 advisor): a corpus with
+   zero target-language tokens scores 0 everywhere (nothing selected)
+   on BOTH faces — no Spark-NULL-vs-DuckDB-error divergence.
+3. q143 (PII detection/redaction audit): hand-written PII fixture with
+   doc_ids outside every planted stratum (the augmentation is the
+   identity there), expectations re-derived with Python ``re`` on the
+   same Java/RE2 common-subset patterns, negative cases (UK phone,
+   bare digit runs, 3-octet and word-glued IPs) pinned to zero, the
+   DuckDB oracle hash-compared on the fixture, and redaction pinned
+   idempotent.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation12 import (
+    _DSIR_FOLD_LIMIT,
+    dsir_distribution_milli,
+    dsir_reweight_milli,
+    dsir_score_table,
+)
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation13 import (
+    PII_KINDS,
+    pii_audit_report,
+    pii_redact,
+)
+
+from .conftest import SF_SMOKE
+from .test_round11_planted import _write_documents
+
+SPECS = all_specs()
+
+
+def _duck_on_documents(sf_dir: str, sql: str) -> list[tuple]:
+    """Run an oracle on a documents-only fixture dir (the full
+    comparator registers every bench table; planted dirs carry just
+    documents.parquet)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{sf_dir}/documents.parquet')"
+    )
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+# ------------------------------------------------------- DSIR milli
+
+def test_dsir_milli_identity_at_bench_counts(spark):
+    """The equivalence pin: at bench counts the fold factor is 1, so
+    the at-scale mode IS q140 column-for-column (the
+    ``bloom_decontam_scale`` convention — scale mode equals audited
+    face wherever both are computable)."""
+    exact = [
+        tuple(r)
+        for r in SPECS["q140_dsir_reweight"].spark(spark, SF_SMOKE).collect()
+    ]
+    milli = [tuple(r) for r in dsir_reweight_milli(spark, SF_SMOKE).collect()]
+    assert exact == milli and len(exact) > 0
+
+
+def _synthetic_dist() -> list[tuple[int, int, int]]:
+    """256 buckets with n_all ~ 9.0e18 (98% of int64 max): the raw
+    score's triple product would be ~1e39 here — the regime the fold
+    exists for. Counts vary per bucket so the scores are non-trivial."""
+    rows = []
+    for b in range(256):
+        c_all = 35_184_372_088_832 * 1000 + b * 1_000_003  # ~3.5e16
+        c_tgt = c_all * (b % 5 + 1) // 10  # 10%..50% target share
+        rows.append((b, c_all, c_tgt))
+    return rows
+
+
+def test_dsir_milli_no_wrap_at_100tb_counts(spark):
+    rows = _synthetic_dist()
+    n_all = sum(r[1] for r in rows)
+    n_tgt = sum(r[2] for r in rows)
+    assert n_all < 2**63 - 1 and n_all > int(0.9 * (2**63))  # near-max
+    # pure-python model of the folded lattice (big ints, no wrap)
+    k = max(1, n_all // _DSIR_FOLD_LIMIT)
+    assert k > 1, "fixture must actually exercise the fold"
+    folded = {b: (ca // k, ct // k) for b, ca, ct in rows}
+    nf_all = sum(v[0] for v in folded.values())
+    nf_tgt = sum(v[1] for v in folded.values())
+    model = {
+        b: (
+            1000 * ct * nf_all // (ca * nf_tgt) if ca > 0 and nf_tgt > 0 else 0
+        )
+        for b, (ca, ct) in folded.items()
+    }
+    # headroom proof: the folded product fits int64 with margin
+    worst = 1000 * max(v[1] for v in folded.values()) * nf_all
+    assert worst < 2**62
+
+    dist = spark.createDataFrame(rows, "bkt long, c_all long, c_tgt long")
+    got = {
+        r["bkt"]: r["s"]
+        for r in dsir_score_table(dsir_distribution_milli(dist)).collect()
+    }
+    assert got == model, "Spark folded scores drifted from the big-int model"
+    # and the fold tracks the EXACT big-int score within 3 milli
+    for b, ca, ct in rows:
+        s_exact = 1000 * ct * n_all // (ca * n_tgt)
+        assert abs(got[b] - s_exact) <= 3, (b, got[b], s_exact)
+
+
+_NO_TGT_ROWS = [
+    (1, "alpha bravo charlie delta", "de", "s1", None),
+    (2, "echo foxtrot golf hotel india", "fr", "s1", None),
+    (3, "juliet kilo lima mike", "zh", "s2", None),
+]
+
+
+@pytest.fixture(scope="module")
+def no_target_sf_dir(tmp_path_factory) -> str:
+    return _write_documents(tmp_path_factory.mktemp("dsir_notgt"), _NO_TGT_ROWS)
+
+
+def test_dsir_empty_target_convention(spark, no_target_sf_dir):
+    """Zero 'en' tokens: every score is 0 by convention, so imp_milli
+    is 0 and nothing clears the 1000-milli selection bar — on BOTH
+    faces (the oracle's CASE mirrors the Spark guard; round-13
+    advisor's divergence is structurally closed)."""
+    spec = SPECS["q140_dsir_reweight"]
+    df = spec.spark(spark, no_target_sf_dir)
+    rows = {r["source"]: r for r in df.collect()}
+    assert set(rows) == {"s1", "s2"}
+    for r in rows.values():
+        assert r["mean_imp_milli"] == 0 and r["n_selected"] == 0
+    got = [tuple(r) for r in spec.spark(spark, no_target_sf_dir).collect()]
+    assert got == _duck_on_documents(no_target_sf_dir, spec.oracle)
+
+
+# ------------------------------------------------------------- q143
+
+# Hand-written PII fixture. Every doc_id is coprime to the planted
+# strata (no multiple of 7/11/13), so q143's scan-side augmentation is
+# the IDENTITY and the detectors see exactly this text.
+_PII_ROWS = [
+    (1, "contact alice.smith+spam@mail-host.co.uk and bob@ex.io today", "en", "s1", None),
+    (2, "call (555) 867-5309 or (020) 7946-0958 maybe", "en", "s1", None),
+    (3, "server at 192.168.0.1 and 10.255.255.254 rebooted v1.2.3.4", "en", "s2", None),
+    (4, "mixed: eve@corp.net, (555) 123-4567, 8.8.8.8", "en", "s2", None),
+    (5, "no pii here just words", "en", "s3", None),
+    (6, "email-ish @@ not@tld phone 555-1234 ip 1.2.3 only", "en", "s3", None),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_sf_dir(tmp_path_factory) -> str:
+    return _write_documents(tmp_path_factory.mktemp("pii_sf"), _PII_ROWS)
+
+
+def _py_counts(text: str) -> dict[str, int]:
+    """Python-re recompute on the same patterns — the common-subset
+    claim means re/Java/RE2 agree on these constructs."""
+    return {kind: len(re.findall(pat, text)) for kind, pat, _ in PII_KINDS}
+
+
+def test_pii_fixture_geometry_self_check():
+    """The planted claims, re-derived with python re."""
+    c = {r[0]: _py_counts(r[1]) for r in _PII_ROWS}
+    assert c[1] == {"email": 2, "phone": 0, "ip": 0}
+    # UK phone shape is NOT NANP: detector stays quiet
+    assert c[2] == {"email": 0, "phone": 1, "ip": 0}
+    # 'v1.2.3.4' is word-glued (no \b before the 1) and '1.2.3' has
+    # three octets: neither counts
+    assert c[3] == {"email": 0, "phone": 0, "ip": 2}
+    assert c[4] == {"email": 1, "phone": 1, "ip": 1}
+    assert c[5] == {"email": 0, "phone": 0, "ip": 0}
+    assert c[6] == {"email": 0, "phone": 0, "ip": 0}
+
+
+def test_q143_on_planted_fixture(spark, pii_sf_dir):
+    spec = SPECS["q143_pii_audit"]
+    got = {tuple(r) for r in spec.spark(spark, pii_sf_dir).collect()}
+    assert got == {
+        # source, n_docs, docs_with_pii, n_email, n_phone, n_ip,
+        # pii_doc_rate_milli, n_residual
+        ("s1", 2, 2, 2, 1, 0, 1000, 0),
+        ("s2", 2, 2, 1, 1, 3, 1000, 0),
+        ("s3", 2, 0, 0, 0, 0, 0, 0),
+    }
+
+
+def test_q143_oracle_parity_on_fixture(spark, pii_sf_dir):
+    spec = SPECS["q143_pii_audit"]
+    got = [tuple(r) for r in spec.spark(spark, pii_sf_dir).collect()]
+    assert got == _duck_on_documents(pii_sf_dir, spec.oracle)
+
+
+def test_q143_redaction_idempotent(spark):
+    """redact(redact(x)) == redact(x): sentinels are digit-free, so no
+    rewrite can manufacture a new match (module-docstring claim)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(r[1],) for r in _PII_ROWS], "text string")
+    out = df.select(
+        pii_redact(F.col("text")).alias("once"),
+        pii_redact(pii_redact(F.col("text"))).alias("twice"),
+    ).collect()
+    assert all(r["once"] == r["twice"] for r in out)
+    # and the python-re model agrees on what redaction produces
+    for r, row in zip(out, _PII_ROWS):
+        exp = row[1]
+        for _, pat, repl in PII_KINDS:
+            exp = re.sub(pat, repl.replace("\\", "\\\\"), exp)
+        assert r["once"] == exp
+
+
+def test_q144_stream_equals_batch(spark):
+    """The twin discipline (q133/q134, q140/q141): q144's drained
+    complete-mode counter state must finalize to q143's report
+    row-for-row — both faces share one oracle, so a drift between
+    them cannot hide behind separate SQL."""
+    batch = [tuple(r) for r in SPECS["q143_pii_audit"].spark(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in SPECS["q144_streaming_pii"].spark(spark, SF_SMOKE).collect()]
+    assert stream == batch and len(batch) > 0
+
+
+def test_q143_nonvacuous_at_smoke_sf(spark):
+    """The planted doc_id strata fire at every SF: ~1/7 of docs carry
+    an email, ~1/11 a phone, ~1/13 an IP — the audit is live, not a
+    vacuous all-zeros hash match."""
+    rows = SPECS["q143_pii_audit"].spark(spark, SF_SMOKE).collect()
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_docs", "docs_with_pii", "n_email", "n_phone", "n_ip", "n_residual")
+    }
+    assert tot["n_docs"] == 500
+    assert tot["n_email"] == len([i for i in range(500) if i % 7 == 0])
+    assert tot["n_phone"] == len([i for i in range(500) if i % 11 == 0])
+    assert tot["n_ip"] == len([i for i in range(500) if i % 13 == 0])
+    assert tot["docs_with_pii"] > 0 and tot["n_residual"] == 0

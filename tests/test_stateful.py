@@ -525,3 +525,58 @@ def test_streaming_dsir_resume_from_checkpoint(spark, tmp_path):
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
     assert set(partial) <= set(final) and len(final) <= 256
     assert all(final[k][0] >= v[0] for k, v in partial.items())
+
+
+def test_streaming_pii_resume_from_checkpoint(spark, tmp_path):
+    """q144's per-source PII counter state joins the constant-state
+    family WITH crash-resume evidence in the same round: kill between
+    micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode counters must equal the batch-built ones
+    row-for-row (all six counters linear — a state reset shows up as
+    second-half-only counts and fails the compare)."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation13 import (
+        _pii_augment,
+        pii_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            pii_counters(_pii_augment(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: tuple(r)[1:]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("pii_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("pii_resume_2")
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in pii_counters(_pii_augment(docs)).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed counters strictly extend the pre-crash ones, and
+    # redaction residual stays 0 through the resume
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+    assert all(v[-1] == 0 for v in final.values())
