@@ -68,8 +68,29 @@ def _n_matches(col: Column, pat: str) -> Column:
 
 def pii_redact(col: Column) -> Column:
     """Chained replace-all of every detector, in PII_KINDS order.
-    Idempotent: sentinels match no detector (digit-free), pinned by
-    the residual column and the planted double-redaction test."""
+
+    Two deliberate design properties make the single pass robust
+    (both planted-tested):
+
+    1. Sentinels are digit-free and BRACKET-DELIMITED: '[' / ']'
+       belong to no detector's character set, so no residual match
+       can cross, absorb, or abut a sentinel — e.g. 'a@b.co@x.co'
+       rewrites to '[EMAIL]@x.co', where the ']' against the second
+       '@' stops the sentinel's letters (legal local-part chars on
+       their own!) from seeding a fresh email.
+    2. The only boundary-sensitive detector (IPv4's ``\\b``) is
+       redacted LAST, so a boundary CREATED by an earlier rewrite is
+       caught within the same pass — 'x@y.co1.2.3.4' detects 0 IPs
+       (the 'o' suppresses the boundary) yet converges to
+       '[EMAIL][IP]' in one pass: the email rewrite's ']' exposes the
+       IP to the later redaction stage. Detection counts and the
+       rewrite legitimately disagree there; the audit records both.
+
+    The residual column REPORTS convergence rather than assuming it
+    (pinned 0 on bench + planted corpora; both faces compute it from
+    the same rewritten text, so any detector/redactor drift fails the
+    bench hash). Redaction is idempotent on its own output — pinned
+    by the double-redaction test."""
     for _, pat, repl in PII_KINDS:
         col = F.regexp_replace(col, pat, repl)
     return col
@@ -143,10 +164,12 @@ def pii_finalize(counters: DataFrame) -> DataFrame:
 def pii_audit_report(df: DataFrame) -> DataFrame:
     """Per-source PII audit of any (source, text) frame: doc and
     match counts per detector, the PII-document rate (milli), and the
-    residual match count AFTER redaction (0 == the rewrite converged;
-    a nonzero residual means a detector/redactor drift and fails the
-    bench hash). One corpus pass, one tiny agg (``pii_counters``) +
-    the finalize projection."""
+    residual match count AFTER redaction (0 == the rewrite converged
+    in one pass — true on the bench corpus, where any drift fails the
+    hash; nonzero on adversarial boundary-glued text, the documented
+    ``pii_redact`` unmasking edge the audit REPORTS rather than
+    hides). One corpus pass, one tiny agg (``pii_counters``) + the
+    finalize projection."""
     return pii_finalize(pii_counters(df))
 
 
@@ -249,11 +272,13 @@ PII_ORACLE = f"""
     "IPv4 detectors (JVM regexp, Java/RE2 common-subset patterns), "
     "per-source doc and match counts, PII-document rate (milli), and "
     "a residual re-scan after the chained [EMAIL]/[PHONE]/[IP] "
-    "rewrite proving redaction converged (n_residual = 0) — the "
-    "first-class scrub stage every pretraining pipeline runs (q61 is "
-    "the digit-run primitive); bench corpus carries no organic PII, "
-    "so a deterministic doc_id-keyed PII stratum is planted at the "
-    "scan, identically in both faces",
+    "rewrite REPORTING whether redaction converged (0 on the bench "
+    "corpus; the adversarial boundary-unmasking edge is documented "
+    "and planted-tested) — the first-class scrub stage every "
+    "pretraining pipeline runs (q61 is the digit-run primitive); "
+    "bench corpus carries no organic PII, so a deterministic "
+    "doc_id-keyed PII stratum is planted at the scan, identically in "
+    "both faces",
     tags=("llm", "curation", "text"),
 )
 def q143_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

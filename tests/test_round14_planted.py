@@ -18,6 +18,13 @@
    bare digit runs, 3-octet and word-glued IPs) pinned to zero, the
    DuckDB oracle hash-compared on the fixture, and redaction pinned
    idempotent.
+4. The common-subset claim as a hypothesis PROPERTY (counts, redacted
+   text, and residual equal the python-re model for ANY text over a
+   boundary-dense alphabet), plus the two pii_redact design
+   properties on adversarial fixtures: in-pass capture of rewrite-
+   created ``\\b`` boundaries (the \\b-sensitive detector is last)
+   and sentinel-absorption blocked by the bracket delimiters (q144
+   inherits everything verbatim — same pii_counters).
 """
 
 from __future__ import annotations
@@ -25,6 +32,8 @@ from __future__ import annotations
 import re
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 from aws_dla_kinesis_delivery_stream_example_spark.plans.curation12 import (
@@ -231,6 +240,100 @@ def test_q144_stream_equals_batch(spark):
     batch = [tuple(r) for r in SPECS["q143_pii_audit"].spark(spark, SF_SMOKE).collect()]
     stream = [tuple(r) for r in SPECS["q144_streaming_pii"].spark(spark, SF_SMOKE).collect()]
     assert stream == batch and len(batch) > 0
+
+
+_pii_text = st.text(
+    # PII-adjacent alphabet: detector metacharacters, digits, letters
+    # from the sentinels, separators — dense in boundary edge cases
+    alphabet="ab1290.@-()[]%+_ coEMAILPHN",
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=_pii_text)
+def test_pii_pipeline_matches_python_re_for_any_text(spark, text):
+    """For ANY text: Spark's detector counts, chained redaction
+    output, and residual equal the python-re model of the same
+    patterns — the Java/RE2/python common-subset claim as a property,
+    not an assertion (the test_property_round9 convention). This is
+    what licenses the planted fixtures' python-re recomputes AND the
+    DuckDB oracle sharing one pattern string."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+            ).alias(k)
+            for k, p, _ in PII_KINDS
+        ],
+        pii_redact(F.col("text")).alias("red"),
+    ).collect()[0]
+    exp = {k: len(re.findall(p, text)) for k, p, _ in PII_KINDS}
+    red = text
+    for _, p, rep in PII_KINDS:
+        red = re.sub(p, rep, red)
+    assert {k: row[k] for k, _, _ in PII_KINDS} == exp
+    assert row["red"] == red
+    residual = sum(len(re.findall(p, red)) for _, p, _ in PII_KINDS)
+    got_residual = (
+        df.select(pii_redact(F.col("text")).alias("red"))
+        .select(
+            sum(
+                F.size(F.regexp_extract_all(F.col("red"), F.lit(p), F.lit(0)))
+                for _, p, _ in PII_KINDS
+            ).alias("n")
+        )
+        .collect()[0]["n"]
+    )
+    assert got_residual == residual
+
+
+_UNMASK_ROWS = [
+    # The two pii_redact robustness properties (its docstring), as
+    # adversarial fixtures. ids 1/2 are outside every planted stratum.
+    # doc 1: boundary-unmask caught IN-PASS — detection sees 0 IPs
+    # ('o' glues the '1', no \b), but the email rewrite's ']' exposes
+    # the IP to the LATER redaction stage: one pass fully redacts.
+    (1, "x@y.co1.2.3.4", "en", "s1", None),
+    # doc 2: sentinel-absorption blocked — '[EMAIL]@x.co' would
+    # re-match as 'EMAIL@x.co' if the sentinel weren't bracket-
+    # delimited; the ']' against the '@' stops it, residual 0.
+    (2, "a@b.co@x.co", "en", "s2", None),
+]
+
+
+@pytest.fixture(scope="module")
+def unmask_sf_dir(tmp_path_factory) -> str:
+    return _write_documents(tmp_path_factory.mktemp("pii_unmask"), _UNMASK_ROWS)
+
+
+def test_q143_one_pass_convergence_on_adversarial_text(spark, unmask_sf_dir):
+    """The pii_redact design properties, end-to-end on both faces:
+    boundary-glued and sentinel-abutting adversarial texts converge
+    in ONE pass (residual 0) even where detection and rewrite
+    legitimately disagree (doc 1 detects 0 IPs yet its IP is
+    redacted by the later in-pass stage)."""
+    spec = SPECS["q143_pii_audit"]
+    got = [tuple(r) for r in spec.spark(spark, unmask_sf_dir).collect()]
+    assert got == [
+        ("s1", 1, 1, 1, 0, 0, 1000, 0),
+        ("s2", 1, 1, 1, 0, 0, 1000, 0),
+    ]
+    assert got == _duck_on_documents(unmask_sf_dir, spec.oracle)
+    # python-re model of the two mechanics
+    def chain(t):
+        for _, pat, repl in PII_KINDS:
+            t = re.sub(pat, repl, t)
+        return t
+
+    assert chain(_UNMASK_ROWS[0][1]) == "[EMAIL][IP]"
+    assert chain(_UNMASK_ROWS[1][1]) == "[EMAIL]@x.co"
+    for t in (_UNMASK_ROWS[0][1], _UNMASK_ROWS[1][1]):
+        assert not any(re.search(p, chain(t)) for _, p, _ in PII_KINDS)
 
 
 def test_q143_nonvacuous_at_smoke_sf(spark):
