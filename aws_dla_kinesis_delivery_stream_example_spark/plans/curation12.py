@@ -155,9 +155,11 @@ def dsir_distribution_milli(dist: DataFrame) -> DataFrame:
     bucket counts by k = max(1, n_all div 2^24) — a 256-row transform
     deriving k from the distribution's OWN total — before the ratio,
     so ``dsir_score_table``'s triple product stays inside int64 at
-    true 100 TB token counts (raw, it overflows once n_all passes
-    ~3e6 * sqrt(corpus skew); the module docstring's documented
-    deviation, now code instead of narration).
+    true 100 TB token counts (raw, ``1000 * c_tgt * n_all`` crosses
+    int64 once ``c_tgt * n_all`` passes ~9.2e15 — between ~1e8 total
+    tokens for a fully skewed distribution and ~1.5e9 for a uniform
+    one; a 100 TB corpus is ~2.5e13. The module docstring's
+    documented deviation, now code instead of narration).
 
     Equivalence pin (the ``bloom_decontam_scale`` /
     ``minhash_calibration_sampled`` discipline): at bench counts
