@@ -1134,14 +1134,18 @@ def main() -> None:
         # |sources| x 6 counter state. candidates := docs (trivially
         # linear; recorded so the newest family member curves next to
         # the rest), state bound asserted == |sources|.
-        _, row["pii_sec"] = timed(
+        _cnt, row["pii_sec"] = timed(
             lambda: specs["q143_pii_audit"].spark(spark, sf_dir).count()
         )
         row["pii_candidates"] = row["n_docs"]
-        row["pii_state_rows"] = (
-            specs["q143_pii_audit"].spark(spark, sf_dir).count()
+        row["pii_state_rows"] = _cnt
+        # `docs` here is a (doc_id, text) projection — reload for source
+        assert _cnt == (
+            load_table(spark, sf_dir, "documents")
+            .select("source")
+            .distinct()
+            .count()
         )
-        assert row["pii_state_rows"] == docs.select("source").distinct().count()
         release_staging()
         spark.catalog.clearCache()
 
