@@ -331,3 +331,193 @@ def audio_frame_energy(
     return media.select("media_id", "payload").mapInPandas(
         run, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+# -- Perceptual near-duplicate detection (difference hash) -----------------
+#
+# The image-side member of the dedup family (q25..q28 are text-side):
+# dHash (Krawetz's difference hash — the standard cheap perceptual
+# fingerprint production image pipelines run before any embedding
+# model) over the DECODED pixels: grayscale -> nearest-neighbor
+# downsample to a (GRID_W x GRID_H) grid -> one bit per horizontal
+# neighbor comparison -> 64 bits, carried as 4 x 16-bit band integers
+# because the bands ARE the blocking key: two images within Hamming
+# distance 3 agree on at least one band (pigeonhole over 4 bands), so
+# a band equi-join is a recall-GUARANTEED candidate generator and the
+# exact Hamming check kills false candidates — the q28 Manku-banding
+# discipline, transplanted to pixels.
+
+_DHASH_SRC_W, _DHASH_SRC_H = 18, 16  # synthesized full resolution
+_DHASH_GRID_W, _DHASH_GRID_H = 9, 8  # downsample grid -> 64 dHash bits
+_DHASH_BANDS = 4  # bands; recall guaranteed for Hamming <= _DHASH_BANDS - 1
+
+DHASH_SIG_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+# Band geometries (the bloom_decontam_scale / dsir_milli house rule:
+# the scale story must be EXECUTABLE, not narrated). Collision
+# candidates are ~ C(n,2) * B / 2^w for B bands of w bits, so band
+# width is the knob that must track corpus size: the bench geometry's
+# w=16 saturates around n ~ 2^16, the wide geometry's w=64 holds to
+# n ~ 2^64/B — far past 1e10 images. Wide = a LARGER grid hashed
+# wider (same decode, same resize arithmetic, same packing), so the
+# production setting is the same plan with different constants —
+# pinned by tests/test_round14_planted.py (planted pairs found in
+# both geometries; collision candidates shrink).
+DHASH_GEOM_BENCH = (_DHASH_GRID_W, _DHASH_GRID_H)  # 64 bits, 4 x 16-bit bands
+DHASH_GEOM_WIDE = (17, 16)  # 256 bits, 4 x 64-bit bands
+
+
+def _dhash_pixel(seed: int, x: int, y: int) -> int:
+    """Engine-portable synthetic pixel: md5-60-bit of 'seed_x_y' mod
+    256 — the hash60 convention (functions/text.py), computed with
+    hashlib here because the pixel is born inside the Arrow batch that
+    encodes the BMP."""
+    return int(hashlib.md5(f"{seed}_{x}_{y}".encode()).hexdigest()[:15], 16) % 256
+
+
+def synthesize_gray_bmp(documents: DataFrame) -> DataFrame:
+    """Deterministic grayscale BMP per document (the container has no
+    real images — synthesize_media's convention, but with REAL pixel
+    content the decode path must recover exactly). Pixels come from
+    the engine-portable md5 formula, so a SQL oracle can recompute the
+    downstream perceptual hash without decoding a single byte.
+
+    Near-duplicate stratum (the q143 planted-stratum convention):
+    doc_id % 9 in {0, 1} share one content seed (doc_id floored to the
+    9-block), and the % 9 == 1 member flips ONE full-res pixel by +128
+    — a near-dup pair at dHash Hamming <= 1, NOT byte-identical, per
+    9-block. Everything else seeds from its own doc_id, so non-planted
+    pairs sit at the ~32-bit Hamming distance of independent hashes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            ids = pdf["doc_id"].astype("int64")
+            for did in ids:
+                did = int(did)
+                seed = did // 9 * 9 if did % 9 <= 1 else did
+                arr = np.empty((_DHASH_SRC_H, _DHASH_SRC_W), dtype=np.uint8)
+                for y in range(_DHASH_SRC_H):
+                    for x in range(_DHASH_SRC_W):
+                        arr[y, x] = _dhash_pixel(seed, x, y)
+                if did % 9 == 1:
+                    arr[0, 0] = (int(arr[0, 0]) + 128) % 256
+                payloads.append(
+                    codecs.encode_bmp(np.repeat(arr[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    ensure_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def dhash_bands(
+    media: DataFrame, grid: tuple[int, int] = DHASH_GEOM_BENCH
+) -> DataFrame:
+    """REAL decode path: BMP bytes -> pixels (codecs.decode_bmp) ->
+    nearest-neighbor downsample to the ``grid`` (codecs.resize_nearest,
+    index math ``src = i * in // out``) -> dHash bit j = y*(gw-1)+x set
+    iff grid[y, x+1] > grid[y, x] -> packed into 4 band integers of
+    (gw-1)*gh/4 bits each (bit j lands in band j // w at offset
+    j % w; 64-bit bands wrap to signed int64, which bit_count(xor)
+    reads transparently). Arrow-batched; the signature is 4 ints per
+    image, so the shuffle that follows moves signatures, never pixels
+    — at 100 TB the payload column stays behind in the scan stage
+    (multimodal house rule: bytes never travel through an exchange).
+
+    ``grid`` is the collision-rate contract (DHASH_GEOM_* constants):
+    the bench 9x8/16-bit-band geometry for bench n, the wide
+    17x16/64-bit-band geometry for production n — same decode, same
+    resize arithmetic, same packing loop, only the constants move."""
+    grid_w, grid_h = grid
+    n_bits = (grid_w - 1) * grid_h
+    if n_bits % _DHASH_BANDS:
+        raise ValueError(f"dhash_bands: {n_bits} bits not divisible into {_DHASH_BANDS} bands")
+    band_bits = n_bits // _DHASH_BANDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                px = codecs.decode_bmp(bytes(raw))
+                g = codecs.resize_nearest(px, grid_w, grid_h)[:, :, 0].astype("int64")
+                flat = (g[:, 1:] > g[:, :-1]).reshape(-1)
+                out["media_id"].append(int(mid))
+                for b in range(_DHASH_BANDS):
+                    val = 0
+                    for i, bit in enumerate(flat[band_bits * b : band_bits * (b + 1)]):
+                        if bit:
+                            val |= 1 << i
+                    if val >= 1 << 63:  # 64-bit band -> signed wrap
+                        val -= 1 << 64
+                    out[f"b{b}"].append(val)
+            yield pd.DataFrame(out)
+
+    ensure_shipped(media.sparkSession)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=DHASH_SIG_SCHEMA
+    )
+
+
+def dhash_near_duplicates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup image pairs from a dHash signature table: band
+    equi-join candidates (two signatures within Hamming ``max_hamming``
+    <= 3 agree on >= 1 of the 4 bands — pigeonhole, so the blocking is
+    recall-guaranteed, exactly q28's Manku argument), then the exact
+    64-bit Hamming distance via bit_count(xor) per band kills false
+    candidates. Candidate volume is bounded by band-value collisions
+    (~2^-16 per band pair for independent images), never |images|^2;
+    every join/agg here moves 5-int signature rows.
+
+    The signature frame is STAGED (operators/staging.py caller
+    contract: release_staging() after the terminal action): four plan
+    arms read it (both band self-join sides + both verify probes), and
+    without staging each arm would re-run the DECODE pipeline feeding
+    ``sigs`` — at 100 TB that's re-decoding every image four times to
+    save a 40-byte/image staging write. Joins stay UNHINTED (round-13
+    advisor rule): at bench SF Catalyst broadcasts the tiny staged
+    frame; at scale its stats exceed the threshold and the same plan
+    degrades to co-partitioned shuffle joins instead of OOMing the
+    driver."""
+    from .staging import stage
+
+    sigs = stage(sigs)
+    bands = sigs.selectExpr(
+        "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sig_cols = [f"b{b}" for b in range(_DHASH_BANDS)]
+    sa = sigs.select(
+        F.col("media_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in sig_cols],
+    )
+    sb = sigs.select(
+        F.col("media_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in sig_cols],
+    )
+    ham = sum(
+        F.expr(f"bit_count({c}_a ^ {c}_b)") for c in sig_cols
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -92,10 +92,31 @@ def key_skew_audit(df: DataFrame, key_col: str, n_buckets: int = 32) -> DataFram
     """
     if n_buckets <= 0:
         raise ValueError(f"key_skew_audit: n_buckets must be positive, got {n_buckets}")
+    return skew_rollup(key_counts(df, key_col), n_buckets)
+
+
+def key_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Phase 1 of the skew audit: the per-key row-count table
+    ``(_key, _cnt)``. Split out (round 14) because this IS the
+    streaming twin's state: ``_cnt`` is a linear counter, so the same
+    groupBy serves the batch face and a complete-mode streaming
+    aggregation whose state merges across shards/micro-batches — the
+    q91 per-key state family (state grows with KEY CARDINALITY, never
+    with ingest volume). Map-side combine collapses hot keys to one
+    partial per task, so the audit is immune to the skew it measures."""
+    return df.groupBy(F.col(key_col).alias("_key")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+
+
+def skew_rollup(per_key: DataFrame, n_buckets: int) -> DataFrame:
+    """Phase 2 of the skew audit: roll the |keys|-sized count table up
+    to per-bucket volume / cardinality / hottest-key rows (lexicographic
+    struct-max tie break — skew-immune, no window). Runs identically on
+    a batch-built count table and on streaming state drained from
+    ``key_counts``, so the report is fully determined by that state."""
     from ..functions import text as TX
 
-    k = F.col(key_col)
-    per_key = df.groupBy(k.alias("_key")).agg(F.count(F.lit(1)).alias("_cnt"))
     bucketed = per_key.select(
         (TX.hash60(F.col("_key").cast("string")) % n_buckets).alias("bucket"),
         "_key",

@@ -210,10 +210,10 @@ def q117_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q118 geometry: 32 simulated reducers over the events.user_id key.
 _Q118_BUCKETS = 32
 
-
-@query(
-    "q118_key_skew_audit",
-    oracle=f"""
+# Shared verbatim by q118 and its streaming twin q145 (the PII_ORACLE /
+# HIST_ORACLE convention): the stream's per-key counter state must roll
+# up to the identical report row-for-row.
+SKEW_ORACLE = f"""
         WITH per_key AS (
             SELECT user_id AS k, count(*) AS cnt
             FROM events GROUP BY user_id
@@ -233,7 +233,12 @@ _Q118_BUCKETS = 32
         FROM bucketed
         GROUP BY bucket
         ORDER BY bucket
-    """,
+    """
+
+
+@query(
+    "q118_key_skew_audit",
+    oracle=SKEW_ORACLE,
     description="Pre-shuffle key-skew audit on events.user_id: simulate "
     "a 32-reducer hash partitioning and report per-bucket row volume, "
     "key cardinality, and the hottest key (lexicographic struct-max tie "

@@ -799,3 +799,46 @@ def q144_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return pii_finalize(state)
+
+
+from .curation6 import SKEW_ORACLE as _SKEW_ORACLE  # noqa: E402 (plans/__init__ imports curation6 first)
+
+
+@query(
+    "q145_streaming_skew",
+    # identical oracle to q118: the stream's per-key count state must
+    # equal the batch phase-1 table row-for-row, and the bucket rollup
+    # is derived FROM that state, so both faces finalize identically
+    oracle=_SKEW_ORACLE,
+    description="STREAMING key-skew audit: q118's per-key row counts "
+    "(operators/skew.py::key_counts) maintained as complete-mode "
+    "streaming aggregation state while events arrive, then rolled up "
+    "to the identical 32-bucket skew report from the drained state "
+    "alone (identical oracle — the q133/q134, q140/q141, q143/q144 "
+    "twin convention); this is the shape that watches a LIVE ingest "
+    "for the hot key BEFORE the nightly 100 TB shuffle job hits it",
+    tags=("streaming", "skew", "audit"),
+)
+def q145_streaming_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each micro-batch collapses map-side to one partial
+    per key before touching state (the audit is immune to the skew it
+    measures — q118's property, inherited because the SAME groupBy
+    serves both faces), so state is |keys| x 1 BIGINT counters — the
+    q91 per-key state family: state grows with KEY CARDINALITY only,
+    never with ingest volume, and merges across shards (counts add).
+    NOT the constant-state family (q113/q121/q129/q134/q136/q141/q144)
+    — an honest skew audit needs the hottest key exactly, so the
+    per-key table IS the minimal state; a constant-state variant would
+    have to sketch the hot key (q112/q113's count-min) and lose the
+    exact max_key_rows the report exists for. Linear counts are NOT
+    idempotent, so at-least-once ingestion needs upstream dedup
+    (q51/q83) — q134's documented caveat. The rollup to 32 buckets
+    runs once on the drained |keys|-row state."""
+    from ..operators import skew as _skew
+    from .curation6 import _Q118_BUCKETS
+
+    def op(df):
+        return _skew.key_counts(df, "user_id")
+
+    state = _stream_events_closed(spark, sf_dir, op, "complete")
+    return _skew.skew_rollup(state, _Q118_BUCKETS).orderBy("bucket")

@@ -1149,6 +1149,46 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # round-14: q146 dHash image near-dup — candidates := the band
+        # equi-join pair count BEFORE the Hamming verify. Expected
+        # ~ planted n/9 (linear) + C(n,2)*4/2^16 collisions (quadratic,
+        # tiny constant): the curve's realized exponent drifting toward
+        # 2 across tiers is the DOCUMENTED 16-bit-band saturation that
+        # mandates wider bands at production n (q146 docstring) — the
+        # rehearsal measures the drift instead of hiding it.
+        from pyspark.sql import functions as F  # noqa: PLC0415 (loop-local)
+
+        from aws_dla_kinesis_delivery_stream_example_spark.operators import (
+            multimodal as _mm,
+        )
+        from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+            stage as _stage,
+        )
+
+        _sigs = _stage(
+            _mm.dhash_bands(
+                _mm.synthesize_gray_bmp(
+                    load_table(spark, sf_dir, "documents")
+                )
+            )
+        )
+        _bands = _sigs.selectExpr(
+            "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+        )
+        row["dhash_candidates"] = (
+            _bands.alias("a")
+            .join(_bands.alias("b"), ["band", "val"])
+            .where(F.col("a.media_id") < F.col("b.media_id"))
+            .select("a.media_id", "b.media_id")
+            .distinct()
+            .count()
+        )
+        _, row["dhash_sec"] = timed(
+            lambda: specs["q146_image_dhash_dedup"].spark(spark, sf_dir).count()
+        )
+        release_staging()
+        spark.catalog.clearCache()
+
         results[sf] = row
         # operator-internal persists (postings/shingle staging) are
         # per-measurement scratch; don't let them tax the next SF
@@ -1163,7 +1203,7 @@ def main() -> None:
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
-        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii",
+        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii", "dhash",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

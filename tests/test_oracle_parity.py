@@ -42,17 +42,18 @@ def test_entry_contract(spark):
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
     # Round-14 window shift (README §Rotation; round-13 verdict Next
-    # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q140..q142 +
-    # q48..q58 + q77..q95 + q127..q131 + q32..q35 + q59..q66 FIRST so
-    # the driver's 50-entry correctness window earns hard rows for the
-    # round-13 additions (never driver-verified) while refreshing ALL
-    # 39 remaining r11 rows plus the 8 next-oldest r12 rows. The tail
-    # is in NUMERIC query order (lexicographic would slot q100 between
-    # q10 and q11). No aNN aliases. Round-14 additions (q143+) sort
-    # after the window. The sort key is the entry module's own (one
-    # source of truth); the window invariant is asserted independently
-    # below.
+    # #1, extended to the mid-round additions): exposed names are the
+    # canonical catalog names, but insertion order puts the EXPLICIT
+    # window list q140..q146 + q48..q58 + q77..q95 + q127..q131 +
+    # q32..q35 + q59..q62 FIRST so the driver's 50-entry correctness
+    # window earns hard rows for EVERY never-driver-verified query
+    # (q140..q142 from round 13 AND this round's q143..q146) while
+    # refreshing ALL 39 remaining r11 rows plus the 4 next-oldest r12
+    # rows. The tail is in NUMERIC query order (lexicographic would
+    # slot q100 between q10 and q11). No aNN aliases. Additions past
+    # q146 would sort after the window. The sort key is the entry
+    # module's own (one source of truth); the window invariant is
+    # asserted independently below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
@@ -65,20 +66,20 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(140, 143))
+        list(range(140, 147))
         + list(range(48, 59))
         + list(range(77, 96))
         + list(range(127, 132))
         + list(range(32, 36))
-        + list(range(59, 67))
+        + list(range(59, 63))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-14 window (an EXPLICIT bounded list, so mid-round catalog
-    # additions q143+ cannot silently evict its tail).
+    # round-14 window (an EXPLICIT bounded list, so a late catalog
+    # addition q147+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q140..q142 + q48..q58 + q77..q95 + "
-        "q127..q131 + q32..q35 + q59..q66"
+        "driver window is not q140..q146 + q48..q58 + q77..q95 + "
+        "q127..q131 + q32..q35 + q59..q62"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

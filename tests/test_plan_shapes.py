@@ -538,3 +538,33 @@ def test_partitioned_gc_never_deletes_prefix_colliding_sf(spark, tmp_path, monke
     finally:
         for d in (neighbor, nonhex):
             os.path.isdir(d) and __import__("shutil").rmtree(d, ignore_errors=True)
+
+
+def test_round14_exchange_budgets(spark):
+    """Round-14 additions (q146; q143's scan-pass budget is pinned in
+    test_exchange_budgets_hold, q145 is a streaming drain), tree-walk
+    budgets (staged subtrees excluded), measured + headroom for AQE
+    join swaps."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    for name, budget in (
+        # The decode pipeline (synthesize -> BMP parse -> dHash pack)
+        # lives inside the STAGED signature subtree — excluded, and
+        # that's the point: four plan arms read signatures, zero
+        # re-decode the corpus. Above the stage: band self-join +
+        # candidate distinct agg + two verify sig joins + final sort
+        # (measured 5 with all three joins broadcast at bench SF;
+        # budget +3 allows AQE swapping every UNHINTED broadcast for
+        # a co-partitioned shuffle join at scale, +1 exchange each).
+        # A regression that re-plans the hash as a cartesian or ships
+        # the payload column through an exchange blows this.
+        ("q146_image_dhash_dedup", 8),
+    ):
+        df = all_specs()[name].spark(spark, SF)
+        try:
+            n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+        finally:
+            release_staging()
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"

@@ -350,3 +350,291 @@ def test_q143_nonvacuous_at_smoke_sf(spark):
     assert tot["n_phone"] == len([i for i in range(500) if i % 11 == 0])
     assert tot["n_ip"] == len([i for i in range(500) if i % 13 == 0])
     assert tot["docs_with_pii"] > 0 and tot["n_residual"] == 0
+
+
+# ------------------------------------------------------------- q145
+
+
+def test_q145_stream_equals_batch(spark):
+    """The twin discipline (q133/q134, q140/q141, q143/q144): q145's
+    drained complete-mode per-key count state must roll up to q118's
+    skew report row-for-row — both faces share key_counts/skew_rollup,
+    so any drift is a streaming-execution bug, not a plan fork."""
+    batch = [tuple(r) for r in SPECS["q118_key_skew_audit"].spark(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in SPECS["q145_streaming_skew"].spark(spark, SF_SMOKE).collect()]
+    assert batch == stream and len(batch) > 0
+
+
+def test_q145_skew_report_is_nonvacuous(spark):
+    """Every bucket the report emits carries a real hottest key: the
+    hot key's count is positive, bounded by the bucket's max, and the
+    bucket totals reconcile with the raw event count — the audit is
+    live accounting, not a vacuous hash match."""
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    rows = SPECS["q145_streaming_skew"].spark(spark, SF_SMOKE).collect()
+    assert rows, "no buckets reported"
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+    for r in rows:
+        assert 0 < r["hot_key_rows"] == r["max_key_rows"] <= r["n_rows"]
+        assert r["n_keys"] >= 1
+
+
+# ------------------------------------------------------------- q146
+
+
+def _bmp_df(spark, items):
+    """(media_id, pixel-array) pairs -> a real BMP payload DataFrame."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import codecs
+
+    rows = [
+        (int(mid), bytearray(codecs.encode_bmp(np.repeat(np.asarray(a, dtype="uint8")[:, :, None], 3, axis=2))))
+        for mid, a in items
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_q146_dhash_on_handmade_images(spark):
+    """Hand-made BMPs through the REAL decode -> downsample -> hash ->
+    band-block -> verify chain: a one-pixel +128 flip at a GRID-SAMPLED
+    cell is a near-dup at Hamming <= 1; an independent image is not a
+    pair. Fixture ids sit outside every synthesis stratum — no
+    synthesize_gray_bmp involvement, the operator chain alone."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        dhash_bands,
+        dhash_near_duplicates,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 18)).astype("uint8")
+    near = base.copy()
+    near[0, 0] = (int(near[0, 0]) + 128) % 256  # grid cell (0, 0)
+    other = rng.randint(0, 256, size=(16, 18)).astype("uint8")
+    media = _bmp_df(spark, [(1001, base), (1002, near), (1003, other)])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_near_duplicates(dhash_bands(media), max_hamming=3).collect()
+    }
+    release_staging()
+    assert (1001, 1002) in pairs and pairs[(1001, 1002)] <= 1
+    assert all(1003 not in p for p in pairs)
+
+
+def test_q146_dhash_ignores_subgrid_noise(spark):
+    """The perceptual property that makes dHash a near-dup detector
+    and not a checksum: flipping a full-res pixel NO grid cell samples
+    (odd coordinates — resize_nearest takes src = 2*i for 18x16 ->
+    9x8) changes the bytes but not one hash bit, so the byte-different
+    pair verifies at Hamming 0."""
+    import numpy as np
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        dhash_bands,
+        dhash_near_duplicates,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(16, 18)).astype("uint8")
+    noisy = base.copy()
+    noisy[1, 1] = (int(noisy[1, 1]) + 128) % 256  # sampled by no grid cell
+    media = _bmp_df(spark, [(2001, base), (2002, noisy)])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_near_duplicates(dhash_bands(media), max_hamming=3).collect()
+    }
+    release_staging()
+    assert pairs == {(2001, 2002): 0}
+
+
+def test_q146_bands_match_pure_python_recompute(spark):
+    """The whole encode -> BMP-parse -> nearest-neighbor downsample ->
+    bit-pack chain pinned against an independent closed-form recompute
+    of the oracle's arithmetic (md5 formula at grid cells (2x, 2y),
+    bit j = y*8+x, band j//16, offset j%16) — any drift in the
+    decoder, the resize index math, or the packing fails here without
+    DuckDB in the loop."""
+    import hashlib as _hl
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        dhash_bands,
+        synthesize_gray_bmp,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 30")
+    got = {
+        r.media_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in dhash_bands(synthesize_gray_bmp(docs)).collect()
+    }
+
+    def px(seed, x, y):
+        return int(_hl.md5(f"{seed}_{x}_{y}".encode()).hexdigest()[:15], 16) % 256
+
+    for did in range(30):
+        seed = did // 9 * 9 if did % 9 <= 1 else did
+        grid = [[px(seed, 2 * x, 2 * y) for x in range(9)] for y in range(8)]
+        if did % 9 == 1:
+            grid[0][0] = (grid[0][0] + 128) % 256
+        bands = [0, 0, 0, 0]
+        for y in range(8):
+            for x in range(8):
+                j = y * 8 + x
+                if grid[y][x + 1] > grid[y][x]:
+                    bands[j // 16] |= 1 << (j % 16)
+        assert got[did] == tuple(bands), f"doc {did}"
+
+
+def test_q146_banding_recall_guarantee():
+    """Pigeonhole, exhaustively at the property level: ANY two 64-bit
+    signatures within Hamming 3 share at least one intact 16-bit band
+    — the claim that makes the band equi-join a lossless candidate
+    generator for the <= 3 spec. Pure python, no SparkSession."""
+    import itertools
+    import random
+
+    rnd = random.Random(146)
+    for _ in range(200):
+        sig = rnd.getrandbits(64)
+        n_flip = rnd.randint(0, 3)
+        flipped = sig
+        for pos in rnd.sample(range(64), n_flip):
+            flipped ^= 1 << pos
+        shared = any(
+            (sig >> (16 * b)) & 0xFFFF == (flipped >> (16 * b)) & 0xFFFF
+            for b in range(4)
+        )
+        assert shared, f"hamming {n_flip} pair with no shared band"
+    # and the worst case exactly at the boundary: 4 flips CAN damage
+    # all 4 bands (the reason max_hamming stops at 3)
+    sig = 0
+    worst = sig ^ (1 | 1 << 16 | 1 << 32 | 1 << 48)
+    assert not any(
+        (sig >> (16 * b)) & 0xFFFF == (worst >> (16 * b)) & 0xFFFF for b in range(4)
+    )
+
+
+def test_q146_nonvacuous_at_smoke_sf(spark):
+    """The planted 9-block stratum fires at every SF: the catalog face
+    returns exactly the (9k, 9k+1) pairs, every one at Hamming <= 1 —
+    near-dups the blocking MUST catch and independent images it must
+    reject (any surviving false candidate would add a row and fail the
+    count)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    rows = SPECS["q146_image_dhash_dedup"].spark(spark, SF_SMOKE).collect()
+    release_staging()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    want_pairs = {(9 * k, 9 * k + 1) for k in range(56)}  # 500 docs
+    assert set(got) == want_pairs
+    assert all(h <= 1 for h in got.values())
+
+
+def test_q146_wide_band_geometry_is_executable(spark):
+    """The scale remedy q146's docstring documents — wider bands at
+    production n — as an EXECUTABLE library mode (the
+    bloom_decontam_scale / dsir_milli house rule), not narration: the
+    wide 17x16 / 4x64-bit geometry runs the SAME decode -> resize ->
+    pack chain on the SAME corpus, still finds every planted near-dup
+    pair, and its band-collision candidate set never exceeds the bench
+    geometry's (2^-64 vs 2^-16 per-band collision rate is the point).
+    The wide near-dup output is EXACTLY the planted pairs: at w=64 no
+    independent-image candidate survives blocking at any realistic n."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        DHASH_GEOM_BENCH,
+        DHASH_GEOM_WIDE,
+        dhash_bands,
+        dhash_near_duplicates,
+        synthesize_gray_bmp,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want_pairs = {(9 * k, 9 * k + 1) for k in range(56)}  # 500 docs
+
+    def candidates(sigs):
+        bands = sigs.selectExpr(
+            "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+        )
+        return (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "val"])
+            .where(F.col("a.media_id") < F.col("b.media_id"))
+            .select("a.media_id", "b.media_id")
+            .distinct()
+            .count()
+        )
+
+    n_cand, pairs = {}, {}
+    for label, geom in (("bench", DHASH_GEOM_BENCH), ("wide", DHASH_GEOM_WIDE)):
+        sigs = dhash_bands(synthesize_gray_bmp(docs), grid=geom)
+        n_cand[label] = candidates(sigs)
+        pairs[label] = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dhash_near_duplicates(sigs, max_hamming=3).collect()
+        }
+        release_staging()
+    assert set(pairs["bench"]) == want_pairs
+    assert set(pairs["wide"]) == want_pairs
+    assert all(h <= 1 for h in pairs["wide"].values())
+    # the geometry's purpose: collision candidates shrink to exactly
+    # the planted set at w=64 while the bench w=16 admits collisions
+    assert n_cand["wide"] == len(want_pairs) <= n_cand["bench"]
+
+
+def test_q146_wide_bands_match_pure_python_recompute(spark):
+    """The wide geometry's packing (bit j = y*16+x, band j//64, offset
+    j%64, signed-int64 wrap at bit 63) pinned against an independent
+    closed-form recompute — the 17x16 grid samples full-res columns
+    0..16 and all rows (src = i*in//out), so the formula evaluates at
+    (x, y) directly."""
+    import hashlib as _hl
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        DHASH_GEOM_WIDE,
+        dhash_bands,
+        synthesize_gray_bmp,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 20")
+    got = {
+        r.media_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in dhash_bands(synthesize_gray_bmp(docs), grid=DHASH_GEOM_WIDE).collect()
+    }
+
+    def px(seed, x, y):
+        return int(_hl.md5(f"{seed}_{x}_{y}".encode()).hexdigest()[:15], 16) % 256
+
+    for did in range(20):
+        seed = did // 9 * 9 if did % 9 <= 1 else did
+        # 17x16 grid from an 18x16 source: xs = i*18//17 = i for i<17,
+        # ys = j*16//16 = j — the grid IS the first 17 columns
+        grid = [[px(seed, x, y) for x in range(17)] for y in range(16)]
+        if did % 9 == 1:
+            grid[0][0] = (grid[0][0] + 128) % 256
+        bands = [0, 0, 0, 0]
+        for y in range(16):
+            for x in range(16):
+                j = y * 16 + x
+                if grid[y][x + 1] > grid[y][x]:
+                    bands[j // 64] |= 1 << (j % 64)
+        signed = tuple(v - (1 << 64) if v >= 1 << 63 else v for v in bands)
+        assert got[did] == signed, f"doc {did}"

@@ -580,3 +580,49 @@ def test_streaming_pii_resume_from_checkpoint(spark, tmp_path):
     # redaction residual stays 0 through the resume
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
     assert all(v[-1] == 0 for v in final.values())
+
+
+def test_streaming_skew_resume_from_checkpoint(spark, tmp_path):
+    """q145's per-key count state joins the streaming catalog WITH
+    crash-resume evidence in the same round (the q129/q134/q136/q141/
+    q144 lesson): kill between micro-batches, restart from the
+    checkpoint, and the FINAL complete-mode per-key counts must equal
+    the batch face's row-for-row — so the skew rollup derived from
+    that state matches q118 exactly. Counts are linear (q134's
+    at-least-once caveat applies), so a state reset shows up as
+    second-half-only counts and fails the compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.skew import key_counts
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(
+            src + "/b*"
+        )
+        q = (
+            key_counts(stream, "user_id")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r[0]: r[1] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+
+    partial = drain("skew_resume_1")
+    assert partial, "first drain built no per-key counts"
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("skew_resume_2")
+    want = {r[0]: r[1] for r in key_counts(ev, "user_id").collect()}
+    assert final == want and len(want) > 0
+    # the resumed counts strictly extend the pre-crash ones: per-key
+    # counters only grow across the resume, none reset
+    assert sum(final.values()) > sum(partial.values())
+    assert all(final[k] >= v for k, v in partial.items())
