@@ -561,6 +561,16 @@ def test_round14_exchange_budgets(spark):
         # A regression that re-plans the hash as a cartesian or ships
         # the payload column through an exchange blows this.
         ("q146_image_dhash_dedup", 8),
+        # (lang, tok) count agg (map-side combined — the corpus's one
+        # exchange) + the |vocab|-frame repartition for the per-lang
+        # rank/cum windows and final agg + sort (measured 3; +1
+        # headroom). A fourth exchange means the windows stopped
+        # sharing the lang partitioning.
+        ("q147_vocab_coverage", 4),
+        # token agg + 1-row totals agg + its broadcast + |sources|-row
+        # projections + sort (measured 5; +1 headroom) — q67's
+        # geometry: the corpus crosses exactly one exchange.
+        ("q148_temperature_mixture", 6),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

@@ -638,3 +638,142 @@ def test_q146_wide_bands_match_pure_python_recompute(spark):
                     bands[j // 64] |= 1 << (j % 64)
         signed = tuple(v - (1 << 64) if v >= 1 << 63 else v for v in bands)
         assert got[did] == signed, f"doc {did}"
+
+
+# ------------------------------------------------------------- q147
+
+
+def test_q147_coverage_on_handmade_corpus(spark, tmp_path):
+    """Hand-computable Zipf toy: tokens 'a a a a b b c d' -> ranked
+    a(4) b(2) c(1) d(1), cumulative 4/6/7/8 of total 8. cov500 needs
+    1000*cum >= 500*8 -> rank 1; cov900 needs >= 7200 -> rank 4 (cum 7
+    at rank 3 falls short — the floor comparison, not rounding);
+    cov990 -> rank 4. Tie-break c before d is the (n DESC, tok)
+    order."""
+    d = _write_documents(
+        tmp_path, [(1, "a a a a b b c d", "xx", "s0", None)]
+    )
+    rows = SPECS["q147_vocab_coverage"].spark(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lang, r.n_types, r.n_tokens) == ("xx", 4, 8)
+    assert (r.cov500_types, r.cov900_types, r.cov990_types) == (1, 4, 4)
+
+
+def test_q147_curve_is_monotone_and_nonvacuous(spark):
+    """At the bench corpus every language's curve is live and sane:
+    0 < cov500 <= cov900 <= cov990 <= n_types, and covering 99% needs
+    strictly more types than covering 50% (word salad is not THAT
+    degenerate)."""
+    rows = SPECS["q147_vocab_coverage"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # five languages
+    for r in rows:
+        assert 0 < r.cov500_types <= r.cov900_types <= r.cov990_types <= r.n_types
+        assert r.cov500_types < r.cov990_types
+        assert r.n_tokens > r.n_types
+
+
+# ------------------------------------------------------------- q148
+
+
+def test_q148_matches_pure_python_model(spark):
+    """The whole allocator recomputed from RAW TEXT by a third
+    implementation (python re + math.sqrt + the split-multiply in
+    python ints): any drift in the token regex, the sqrt lattice, the
+    micro shares, or the overflow-safe allocation fails row-for-row."""
+    import math
+    import re as _re
+
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    n_tok: dict[str, int] = {}
+    pat = _re.compile(r"\w+|[^\w\s]")
+    for r in docs:
+        n_tok[r.source] = n_tok.get(r.source, 0) + len(pat.findall(r.text))
+    w = {s: math.floor(1000 * math.sqrt(n)) for s, n in n_tok.items()}
+    sumw, n_all = sum(w.values()), sum(n_tok.values())
+    want = {}
+    for s in n_tok:
+        share = 1000000 * w[s] // sumw
+        alloc = (n_all // 1000000) * share + ((n_all % 1000000) * share) // 1000000
+        n = n_tok[s]
+        epochs = (alloc // n) * 1000 + ((alloc % n) * 1000) // n if n else 0
+        realized = min(alloc, 4 * n)
+        want[s] = (n, w[s], share, alloc, epochs, int(alloc > 4 * n), realized, alloc - realized)
+    got = {
+        r.source: (r.n_tok, r.w_milli, r.share_micro, r.alloc_tok,
+                   r.epochs_milli, r.capped, r.realized_tok, r.deficit_tok)
+        for r in SPECS["q148_temperature_mixture"].spark(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) == 20
+
+
+def test_q148_budget_reconciles(spark):
+    """Allocation invariants that hold at ANY corpus: shares floor
+    down so the allocated total never exceeds the budget; realized <=
+    allocated; deficit is exactly the capped overhang; a capped source
+    implies >= 4 implied epochs; temperature alpha=1/2 upweights small
+    sources (every source's share_micro sits between uniform and
+    proportional on the correct side)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    rows = SPECS["q148_temperature_mixture"].spark(spark, SF_SMOKE).collect()
+    n_all = sum(r.n_tok for r in rows)
+    assert sum(r.alloc_tok for r in rows) <= n_all
+    for r in rows:
+        assert 0 <= r.realized_tok <= r.alloc_tok
+        assert r.deficit_tok == r.alloc_tok - r.realized_tok
+        if r.capped:
+            assert r.epochs_milli >= 4000
+        # alpha = 1/2 compresses the mixture toward uniform: sources
+        # below the mean token count gain share vs proportional,
+        # sources above lose (floor slack: compare on the micro lattice
+        # with 1-quantum tolerance)
+        prop_micro = 1000000 * r.n_tok // n_all
+        if r.n_tok * len(rows) < n_all:
+            assert r.share_micro >= prop_micro - 1
+        elif r.n_tok * len(rows) > n_all:
+            assert r.share_micro <= prop_micro + 1
+
+
+def test_q148_zero_token_source_convention(spark, tmp_path):
+    """The q140 empty-stratum lesson, planted: a source whose docs
+    carry no tokens allocates zero, reports zero epochs, and cannot
+    divide-by-zero on EITHER face — pinned by running spark vs duckdb
+    on the fixture."""
+    d = _write_documents(
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta", "en", "live", None),
+            (2, "  ", "en", "empty", None),
+        ],
+    )
+    spec = SPECS["q148_temperature_mixture"]
+    rows = {r.source: r for r in spec.spark(spark, d).collect()}
+    assert rows["empty"].n_tok == 0
+    assert rows["empty"].w_milli == 0
+    assert rows["empty"].alloc_tok == 0
+    assert rows["empty"].epochs_milli == 0
+    assert rows["live"].alloc_tok > 0
+    got = [tuple(r) for r in spec.spark(spark, d).collect()]
+    assert got == _duck_on_documents(d, spec.oracle)
+
+
+@settings(deadline=None, max_examples=60, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(min_value=0, max_value=2**53 - 1))
+def test_q148_sqrt_lattice_is_cross_dialect(n):
+    """The portability claim behind alpha = 1/2: floor(1000 * sqrt(n))
+    is bit-identical between python (IEEE math.sqrt) and DuckDB for
+    every n below 2^53 — the property a pow()-based temperature would
+    NOT have. Hypothesis drives the full int range incl. the 2^53
+    boundary."""
+    import math
+
+    import duckdb
+
+    want = math.floor(1000 * math.sqrt(n))
+    got = duckdb.sql(
+        f"SELECT CAST(floor(1000 * sqrt(CAST({n} AS BIGINT))) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == want
