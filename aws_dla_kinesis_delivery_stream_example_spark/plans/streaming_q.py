@@ -842,3 +842,41 @@ def q145_streaming_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _stream_events_closed(spark, sf_dir, op, "complete")
     return _skew.skew_rollup(state, _Q118_BUCKETS).orderBy("bucket")
+
+
+from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE  # noqa: E402 (plans/__init__ imports curation16 first)
+
+
+@query(
+    "q150_streaming_attrition",
+    # identical oracle to q149: the stream's per-(source, reason)
+    # counter state must equal the batch counters row-for-row, and the
+    # shares derive FROM that state, so both faces finalize identically
+    oracle=_ATTRITION_ORACLE,
+    description="STREAMING attrition ledger: q149's per-(source, "
+    "reason) doc/token counters maintained as complete-mode streaming "
+    "aggregation state while documents arrive, finalized to the "
+    "identical table from the drained state alone (identical oracle — "
+    "the q143/q144, q118/q145 twin convention); this is the live "
+    "ingest-quality monitor: the attrition table updating AS the "
+    "crawl lands, so a gate suddenly eating a source pages before "
+    "the nightly batch report",
+    tags=("streaming", "llm", "curation"),
+)
+def q150_streaming_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the gate labels and token counts run scan-side
+    INSIDE the stream (whole-stage codegen, zero Python crossings);
+    each micro-batch collapses map-side to <= 5 rows per source before
+    touching state, so state is |sources| x |reasons| BIGINT-pair rows
+    — CONSTANT at any ingest volume (the q113/q121/q129/q134/q136/
+    q141/q144 constant-state family), mergeable across shards (all
+    counters linear). Linear counts are NOT idempotent, so
+    at-least-once ingestion needs upstream dedup (q51/q83) — q134's
+    documented caveat. The share projection runs once on the drained
+    ledger."""
+    from .curation16 import attrition_counters, attrition_finalize
+
+    state = _stream_documents_closed(
+        spark, sf_dir, attrition_counters, "complete", partitions="2"
+    )
+    return attrition_finalize(state)

@@ -44,14 +44,13 @@ def test_entry_contract(spark):
     # Round-14 window shift (README §Rotation; round-13 verdict Next
     # #1, extended to the mid-round additions): exposed names are the
     # canonical catalog names, but insertion order puts the EXPLICIT
-    # window list q140..q148 + q48..q58 + q77..q95 + q127..q131 +
-    # q32..q35 + q59..q60 FIRST so the driver's 50-entry correctness
-    # window earns hard rows for EVERY never-driver-verified query
-    # (q140..q142 from round 13 AND this round's q143..q148) while
-    # refreshing ALL 39 remaining r11 rows plus the 2 next-oldest r12
-    # rows. The tail is in NUMERIC query order (lexicographic would
+    # window list q140..q150 + q48..q58 + q77..q95 + q127..q131 +
+    # q32..q35 FIRST so the driver's 50-entry correctness window
+    # earns hard rows for EVERY never-driver-verified query
+    # (q140..q142 from round 13 AND this round's q143..q150) while
+    # refreshing ALL 39 remaining r11 rows. The tail is in NUMERIC query order (lexicographic would
     # slot q100 between q10 and q11). No aNN aliases. Additions past
-    # q148 would sort after the window. The sort key is the entry
+    # q150 would sort after the window. The sort key is the entry
     # module's own (one source of truth); the window invariant is
     # asserted independently below.
     import re as _re
@@ -66,20 +65,19 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(140, 149))
+        list(range(140, 151))
         + list(range(48, 59))
         + list(range(77, 96))
         + list(range(127, 132))
         + list(range(32, 36))
-        + list(range(59, 61))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
     # round-14 window (an EXPLICIT bounded list, so a late catalog
-    # addition q149+ cannot silently evict its tail).
+    # addition q151+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q140..q148 + q48..q58 + q77..q95 + "
-        "q127..q131 + q32..q35 + q59..q60"
+        "driver window is not q140..q150 + q48..q58 + q77..q95 + "
+        "q127..q131 + q32..q35"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

@@ -571,6 +571,12 @@ def test_round14_exchange_budgets(spark):
         # projections + sort (measured 5; +1 headroom) — q67's
         # geometry: the corpus crosses exactly one exchange.
         ("q148_temperature_mixture", 6),
+        # label + token count are one scan-side codegen pass; the
+        # (source, reason) agg map-side combines before its exchange;
+        # share window + sort touch the <= 5*|sources|-row ledger
+        # (measured 3; +1 headroom). The corpus crosses ONE exchange —
+        # the q143 cheapest-class shape.
+        ("q149_attrition_ledger", 4),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

@@ -777,3 +777,82 @@ def test_q148_sqrt_lattice_is_cross_dialect(n):
         f"SELECT CAST(floor(1000 * sqrt(CAST({n} AS BIGINT))) AS BIGINT)"
     ).fetchone()[0]
     assert got == want
+
+
+# ------------------------------------------------------------- q149
+
+
+def test_q149_first_failure_attribution_on_handmade_corpus(spark, tmp_path):
+    """Hand corpus exercising every reason ONCE plus the attribution
+    tie-break: doc 5 fails lang AND length AND alpha but counts
+    against 'lang' alone — first-failure makes the reasons a partition
+    of the corpus, not overlapping per-filter counts."""
+    alpha_ok = "alpha bravo charlie delta echo foxtrot golf hotel " * 3  # ~100+ chars, all letters+spaces
+    rows = [
+        (1, alpha_ok, "en", "s0", None),                  # kept
+        (2, alpha_ok, "de", "s0", None),                  # lang
+        (3, "short words here", "en", "s0", None),        # len_short (n_chars < 100)
+        (4, alpha_ok * 120, "en", "s0", None),            # len_long (> 5000)
+        (5, "123 456 789" * 30, "de", "s0", None),        # lang wins over len+alpha
+        (6, "1234567890 " * 12, "en", "s0", None),        # alpha (digits, len in range)
+    ]
+    d = _write_documents(tmp_path, rows)
+    got = {
+        (r.source, r.reason): (r.n_docs, r.share_milli)
+        for r in SPECS["q149_attrition_ledger"].spark(spark, d).collect()
+    }
+    assert got == {
+        ("s0", "kept"): (1, 166),
+        ("s0", "lang"): (2, 333),
+        ("s0", "len_short"): (1, 166),
+        ("s0", "len_long"): (1, 166),
+        ("s0", "alpha"): (1, 166),
+    }
+    # and the oracle agrees on the fixture
+    got_rows = [tuple(r) for r in SPECS["q149_attrition_ledger"].spark(spark, d).collect()]
+    assert got_rows == _duck_on_documents(d, SPECS["q149_attrition_ledger"].oracle)
+
+
+def test_q149_explains_q30_keep_set(spark):
+    """The single-source-of-truth pin: the ledger shares q30's gate
+    constants, so sum of 'kept' docs across sources must equal the
+    gate's own result cardinality — the two specs cannot drift."""
+    ledger = SPECS["q149_attrition_ledger"].spark(spark, SF_SMOKE).collect()
+    kept = sum(r.n_docs for r in ledger if r.reason == "kept")
+    assert kept == SPECS["q30_quality_filter"].spark(spark, SF_SMOKE).count() > 0
+
+
+def test_q149_reasons_partition_the_corpus(spark):
+    """Partition invariants at the bench corpus: per-source doc counts
+    reconcile with the raw table; shares floor-sum to within
+    |reasons|-1 of 1000; every reason label is from the closed set."""
+    from pyspark.sql import functions as F
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation16 import (
+        ATTRITION_REASONS,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import load_table
+
+    rows = SPECS["q149_attrition_ledger"].spark(spark, SF_SMOKE).collect()
+    per_src_docs: dict[str, int] = {}
+    per_src_share: dict[str, int] = {}
+    for r in rows:
+        assert r.reason in ATTRITION_REASONS
+        per_src_docs[r.source] = per_src_docs.get(r.source, 0) + r.n_docs
+        per_src_share[r.source] = per_src_share.get(r.source, 0) + r.share_milli
+    raw = {
+        r.source: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_src_docs == raw
+    for src, share in per_src_share.items():
+        assert 1000 - len(ATTRITION_REASONS) + 1 <= share <= 1000
+
+
+def test_q150_stream_equals_batch(spark):
+    """The twin discipline: q150's drained complete-mode counter state
+    must finalize to q149's ledger row-for-row."""
+    batch = [tuple(r) for r in SPECS["q149_attrition_ledger"].spark(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in SPECS["q150_streaming_attrition"].spark(spark, SF_SMOKE).collect()]
+    assert batch == stream and len(batch) > 0

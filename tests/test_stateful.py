@@ -626,3 +626,57 @@ def test_streaming_skew_resume_from_checkpoint(spark, tmp_path):
     # counters only grow across the resume, none reset
     assert sum(final.values()) > sum(partial.values())
     assert all(final[k] >= v for k, v in partial.items())
+
+
+def test_streaming_attrition_resume_from_checkpoint(spark, tmp_path):
+    """q150's per-(source, reason) counter state joins the
+    constant-state family WITH crash-resume evidence in the same round
+    (the q129/q134/q136/q141/q144/q145 lesson): kill between
+    micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode counters must equal the batch face's row-for-row.
+    Counts are linear (q134's caveat applies), so a state reset shows
+    up as second-half-only counts and fails the compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation16 import (
+        attrition_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, lang string, n_chars long, text string"
+        ).parquet(src + "/b*")
+        q = (
+            attrition_counters(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): (r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("attr_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("attr_resume_2")
+    want = {
+        (r[0], r[1]): (r[2], r[3]) for r in attrition_counters(docs).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed counters strictly extend the pre-crash ones, and the
+    # state never exceeds |sources| x |reasons|
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+    assert len(final) <= 20 * 5
