@@ -467,6 +467,29 @@ def dhash_bands(
     )
 
 
+def dhash_band_candidates(sigs: DataFrame) -> DataFrame:
+    """The band-blocking candidate generator, shared by the near-dup
+    operator, the scale rehearsal's candidate-count measurement, and
+    the geometry tests — ONE definition so a future blocking change
+    (e.g. a q28-style crowding cap on hot band values) cannot leave
+    the rehearsal curving a different generator than the query runs.
+    Returns distinct ``(doc_a, doc_b)`` id pairs (doc_a < doc_b)
+    sharing at least one identical (band, val)."""
+    bands = sigs.selectExpr(
+        "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def dhash_near_duplicates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup image pairs from a dHash signature table: band
     equi-join candidates (two signatures within Hamming ``max_hamming``
@@ -476,6 +499,11 @@ def dhash_near_duplicates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidates. Candidate volume is bounded by band-value collisions
     (~2^-16 per band pair for independent images), never |images|^2;
     every join/agg here moves 5-int signature rows.
+
+    ``max_hamming`` is capped at ``_DHASH_BANDS - 1``: at 4+ differing
+    bits the pigeonhole argument breaks (4 flips CAN damage all 4
+    bands), so a larger threshold would silently drop true pairs —
+    rejected loudly instead of returning an incomplete answer.
 
     The signature frame is STAGED (operators/staging.py caller
     contract: release_staging() after the terminal action): four plan
@@ -487,22 +515,16 @@ def dhash_near_duplicates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     frame; at scale its stats exceed the threshold and the same plan
     degrades to co-partitioned shuffle joins instead of OOMing the
     driver."""
+    if not 0 <= max_hamming <= _DHASH_BANDS - 1:
+        raise ValueError(
+            f"dhash_near_duplicates: max_hamming={max_hamming} outside the "
+            f"banding recall guarantee [0, {_DHASH_BANDS - 1}] — a larger "
+            "threshold needs more bands, not a bigger filter"
+        )
     from .staging import stage
 
     sigs = stage(sigs)
-    bands = sigs.selectExpr(
-        "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "val"])
-        .where(F.col("a.media_id") < F.col("b.media_id"))
-        .select(
-            F.col("a.media_id").alias("doc_a"),
-            F.col("b.media_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = dhash_band_candidates(sigs)
     sig_cols = [f"b{b}" for b in range(_DHASH_BANDS)]
     sa = sigs.select(
         F.col("media_id").alias("doc_a"),

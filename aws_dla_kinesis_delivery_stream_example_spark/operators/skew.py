@@ -90,8 +90,6 @@ def key_skew_audit(df: DataFrame, key_col: str, n_buckets: int = 32) -> DataFram
     the |keys|-sized count frame by bucket. No join, no window, no
     collect.
     """
-    if n_buckets <= 0:
-        raise ValueError(f"key_skew_audit: n_buckets must be positive, got {n_buckets}")
     return skew_rollup(key_counts(df, key_col), n_buckets)
 
 
@@ -114,7 +112,13 @@ def skew_rollup(per_key: DataFrame, n_buckets: int) -> DataFrame:
     to per-bucket volume / cardinality / hottest-key rows (lexicographic
     struct-max tie break — skew-immune, no window). Runs identically on
     a batch-built count table and on streaming state drained from
-    ``key_counts``, so the report is fully determined by that state."""
+    ``key_counts``, so the report is fully determined by that state.
+    Validates ``n_buckets`` HERE (round-14 review): q145 consumes this
+    phase directly, bypassing the key_skew_audit wrapper, and
+    ``hash60 % 0`` would be a modulo error / NULL buckets instead of
+    a clear message."""
+    if n_buckets <= 0:
+        raise ValueError(f"skew_rollup: n_buckets must be positive, got {n_buckets}")
     from ..functions import text as TX
 
     bucketed = per_key.select(

@@ -161,7 +161,9 @@ def _alloc_expr(budget: str, share_micro: str) -> str:
         ),
         sh AS (
             SELECT source, n_tok, w_milli,
-                   CAST(1000000 * w_milli // g.sumw AS BIGINT) AS share_micro,
+                   CAST(CASE WHEN g.sumw > 0
+                             THEN 1000000 * w_milli // g.sumw
+                             ELSE 0 END AS BIGINT) AS share_micro,
                    g.n_all
             FROM w, g
         ),
@@ -206,8 +208,11 @@ def q148_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY int64 budget; epochs_milli's split-multiply holds while
     n_tok < ~9.2e15 per source (~30 PB of text — the documented
     milli-lattice bound); sqrt is exact-by-IEEE below 2^53. A source
-    with zero tokens allocates zero and reports zero epochs (the
-    q140 empty-stratum convention, mirrored in the oracle)."""
+    with zero tokens allocates zero and reports zero epochs, and a
+    corpus where EVERY source is empty (sumw = 0) degenerates to
+    all-zero shares instead of dividing by zero — both conventions
+    mirrored in the oracle's CASE (the q140 empty-stratum lesson,
+    round-14 review)."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.sum(TX.bpe_token_count("text")).cast("long").alias("n_tok")
@@ -224,7 +229,11 @@ def q148_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tok",
         "w_milli",
-        F.expr("1000000 * w_milli div sumw").cast("long").alias("share_micro"),
+        F.expr(
+            "CASE WHEN sumw > 0 THEN 1000000 * w_milli div sumw ELSE 0 END"
+        )
+        .cast("long")
+        .alias("share_micro"),
         "n_all",
     )
     a = sh.select(

@@ -1156,8 +1156,6 @@ def main() -> None:
         # 2 across tiers is the DOCUMENTED 16-bit-band saturation that
         # mandates wider bands at production n (q146 docstring) — the
         # rehearsal measures the drift instead of hiding it.
-        from pyspark.sql import functions as F  # noqa: PLC0415 (loop-local)
-
         from aws_dla_kinesis_delivery_stream_example_spark.operators import (
             multimodal as _mm,
         )
@@ -1172,17 +1170,9 @@ def main() -> None:
                 )
             )
         )
-        _bands = _sigs.selectExpr(
-            "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
-        )
-        row["dhash_candidates"] = (
-            _bands.alias("a")
-            .join(_bands.alias("b"), ["band", "val"])
-            .where(F.col("a.media_id") < F.col("b.media_id"))
-            .select("a.media_id", "b.media_id")
-            .distinct()
-            .count()
-        )
+        # the SAME candidate generator the query runs (round-14 review:
+        # a copy here could silently curve a different blocking)
+        row["dhash_candidates"] = _mm.dhash_band_candidates(_sigs).count()
         _, row["dhash_sec"] = timed(
             lambda: specs["q146_image_dhash_dedup"].spark(spark, sf_dir).count()
         )

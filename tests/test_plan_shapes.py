@@ -584,3 +584,38 @@ def test_round14_exchange_budgets(spark):
         finally:
             release_staging()
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_q146_payload_never_crosses_an_exchange(spark):
+    """The multimodal house rule as a plan pin, not a docstring claim:
+    every Exchange in q146's executed plan must ship signature/pair
+    columns only — the BMP payload bytes stay behind in the scan
+    stage. Walk every Exchange node and assert no binary 'payload'
+    column in its output schema."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q146_image_dhash_dedup"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+
+        def walk(node, out):
+            name = node.nodeName()
+            if "Exchange" in name:
+                out.append(node.schemaString())
+            if "AdaptiveSparkPlan" in name:
+                walk(node.executedPlan(), out)
+            elif "QueryStage" in name:
+                walk(node.plan(), out)
+            it = node.children().iterator()
+            while it.hasNext():
+                walk(it.next(), out)
+
+        schemas: list[str] = []
+        walk(plan, schemas)
+        assert schemas, "no exchanges found — plan shape changed?"
+        offenders = [s for s in schemas if "payload" in s]
+        assert offenders == [], f"payload bytes cross an exchange: {offenders[:1]}"
+    finally:
+        release_staging()

@@ -552,11 +552,10 @@ def test_q146_wide_band_geometry_is_executable(spark):
     geometry's (2^-64 vs 2^-16 per-band collision rate is the point).
     The wide near-dup output is EXACTLY the planted pairs: at w=64 no
     independent-image candidate survives blocking at any realistic n."""
-    from pyspark.sql import functions as F
-
     from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
         DHASH_GEOM_BENCH,
         DHASH_GEOM_WIDE,
+        dhash_band_candidates,
         dhash_bands,
         dhash_near_duplicates,
         synthesize_gray_bmp,
@@ -569,23 +568,10 @@ def test_q146_wide_band_geometry_is_executable(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     want_pairs = {(9 * k, 9 * k + 1) for k in range(56)}  # 500 docs
 
-    def candidates(sigs):
-        bands = sigs.selectExpr(
-            "media_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
-        )
-        return (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "val"])
-            .where(F.col("a.media_id") < F.col("b.media_id"))
-            .select("a.media_id", "b.media_id")
-            .distinct()
-            .count()
-        )
-
     n_cand, pairs = {}, {}
     for label, geom in (("bench", DHASH_GEOM_BENCH), ("wide", DHASH_GEOM_WIDE)):
         sigs = dhash_bands(synthesize_gray_bmp(docs), grid=geom)
-        n_cand[label] = candidates(sigs)
+        n_cand[label] = dhash_band_candidates(sigs).count()
         pairs[label] = {
             (r.doc_a, r.doc_b): r.hamming
             for r in dhash_near_duplicates(sigs, max_hamming=3).collect()
@@ -856,3 +842,53 @@ def test_q150_stream_equals_batch(spark):
     batch = [tuple(r) for r in SPECS["q149_attrition_ledger"].spark(spark, SF_SMOKE).collect()]
     stream = [tuple(r) for r in SPECS["q150_streaming_attrition"].spark(spark, SF_SMOKE).collect()]
     assert batch == stream and len(batch) > 0
+
+
+# ------------------------------------------- round-14 review fixes
+
+
+def test_q146_rejects_max_hamming_beyond_banding_guarantee(spark):
+    """max_hamming >= 4 breaks the pigeonhole recall guarantee (4
+    flips CAN damage all 4 bands), so the operator must refuse loudly
+    instead of silently dropping true pairs."""
+    import pytest as _pytest
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.multimodal import (
+        dhash_near_duplicates,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "media_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    for bad in (4, 64, -1):
+        with _pytest.raises(ValueError, match="recall guarantee"):
+            dhash_near_duplicates(sigs, max_hamming=bad)
+
+
+def test_skew_rollup_rejects_nonpositive_buckets(spark):
+    """q145 consumes skew_rollup directly (bypassing the audit
+    wrapper), so the n_buckets guard must live in the phase itself."""
+    import pytest as _pytest
+
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.skew import skew_rollup
+
+    per_key = spark.createDataFrame([(1, 2)], "_key long, _cnt long")
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="n_buckets"):
+            skew_rollup(per_key, bad)
+
+
+def test_q148_all_empty_corpus_degenerates_to_zero_shares(spark, tmp_path):
+    """sumw = 0 (every source token-free): all-zero shares and
+    allocations instead of a divide-by-zero, on BOTH faces."""
+    d = _write_documents(
+        tmp_path,
+        [(1, "  ", "en", "e1", None), (2, "", "en", "e2", None)],
+    )
+    spec = SPECS["q148_temperature_mixture"]
+    rows = {r.source: r for r in spec.spark(spark, d).collect()}
+    assert set(rows) == {"e1", "e2"}
+    for r in rows.values():
+        assert (r.n_tok, r.w_milli, r.share_micro, r.alloc_tok, r.epochs_milli) == (0, 0, 0, 0, 0)
+    got = [tuple(r) for r in spec.spark(spark, d).collect()]
+    assert got == _duck_on_documents(d, spec.oracle)
