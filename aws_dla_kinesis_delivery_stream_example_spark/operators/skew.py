@@ -118,7 +118,7 @@ def skew_rollup(per_key: DataFrame, n_buckets: int) -> DataFrame:
     ``hash60 % 0`` would be a modulo error / NULL buckets instead of
     a clear message."""
     if n_buckets <= 0:
-        raise ValueError(f"skew_rollup: n_buckets must be positive, got {n_buckets}")
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     from ..functions import text as TX
 
     bucketed = per_key.select(

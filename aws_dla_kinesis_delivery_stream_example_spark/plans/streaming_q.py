@@ -20,6 +20,13 @@ from ..operators import sketch as _SK
 from ..sources.tables import normalize_event_time
 from ..streaming import windows as SW
 from .catalog import query
+from .curation6 import SKEW_ORACLE as _SKEW_ORACLE
+from .curation9 import HLL_ORACLE as _HLL_ORACLE
+from .curation10 import BLOOM_ORACLE as _BLOOM_ORACLE
+from .curation10 import HIST_ORACLE as _HIST_ORACLE
+from .curation12 import DSIR_ORACLE as _DSIR_ORACLE
+from .curation13 import PII_ORACLE as _PII_ORACLE
+from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -592,8 +599,6 @@ def q121_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
     return _stream_documents_closed(spark, sf_dir, op, "complete").orderBy("shard")
 
 
-from .curation9 import HLL_ORACLE as _HLL_ORACLE  # noqa: E402 (plans/__init__ imports curation9 first)
-
 
 @query(
     "q129_streaming_hll",
@@ -631,8 +636,6 @@ def q129_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_output(spark, sf_dir, regs)
 
 
-from .curation10 import HIST_ORACLE as _HIST_ORACLE  # noqa: E402 (plans/__init__ imports curation10 first)
-
 
 @query(
     "q134_streaming_hist",
@@ -663,8 +666,6 @@ def q134_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _stream_documents_closed(spark, sf_dir, hist_documents, "complete", partitions="2")
     return _hist_output(spark, sf_dir, hist)
 
-
-from .curation10 import BLOOM_ORACLE as _BLOOM_ORACLE  # noqa: E402 (plans/__init__ imports curation10 first)
 
 
 @query(
@@ -715,8 +716,6 @@ def q136_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_finalize(agg)
 
 
-from .curation12 import DSIR_ORACLE as _DSIR_ORACLE  # noqa: E402 (plans/__init__ imports curation12 first)
-
 
 @query(
     "q141_streaming_dsir",
@@ -759,8 +758,6 @@ def q141_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_output(spark, sf_dir, dist)
 
 
-from .curation13 import PII_ORACLE as _PII_ORACLE  # noqa: E402 (plans/__init__ imports curation13 first)
-
 
 @query(
     "q144_streaming_pii",
@@ -800,8 +797,6 @@ def q144_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pii_finalize(state)
 
-
-from .curation6 import SKEW_ORACLE as _SKEW_ORACLE  # noqa: E402 (plans/__init__ imports curation6 first)
 
 
 @query(
@@ -843,8 +838,6 @@ def q145_streaming_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _stream_events_closed(spark, sf_dir, op, "complete")
     return _skew.skew_rollup(state, _Q118_BUCKETS).orderBy("bucket")
 
-
-from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE  # noqa: E402 (plans/__init__ imports curation16 first)
 
 
 @query(

@@ -783,10 +783,8 @@ def test_q149_first_failure_attribution_on_handmade_corpus(spark, tmp_path):
         (6, "1234567890 " * 12, "en", "s0", None),        # alpha (digits, len in range)
     ]
     d = _write_documents(tmp_path, rows)
-    got = {
-        (r.source, r.reason): (r.n_docs, r.share_milli)
-        for r in SPECS["q149_attrition_ledger"].spark(spark, d).collect()
-    }
+    ledger = SPECS["q149_attrition_ledger"].spark(spark, d).collect()
+    got = {(r.source, r.reason): (r.n_docs, r.share_milli) for r in ledger}
     assert got == {
         ("s0", "kept"): (1, 166),
         ("s0", "lang"): (2, 333),
@@ -794,8 +792,9 @@ def test_q149_first_failure_attribution_on_handmade_corpus(spark, tmp_path):
         ("s0", "len_long"): (1, 166),
         ("s0", "alpha"): (1, 166),
     }
-    # and the oracle agrees on the fixture
-    got_rows = [tuple(r) for r in SPECS["q149_attrition_ledger"].spark(spark, d).collect()]
+    # and the oracle agrees on the fixture (same collected rows — one
+    # plan execution serves both assertions)
+    got_rows = [tuple(r) for r in ledger]
     assert got_rows == _duck_on_documents(d, SPECS["q149_attrition_ledger"].oracle)
 
 
