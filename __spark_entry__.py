@@ -5,28 +5,23 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q150`` as of round-14;
-new queries append past that), in a round-14 WINDOW order: the
+Naming: canonical catalog names (``q01..q152`` as of round-15;
+new queries append past that), in a round-15 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q140..q150 + q48..q58 + q77..q95
-+ q127..q131 + q32..q35`` first — EVERY
-never-driver-verified query (the round-13 additions q140..q142
-AND the round-14 additions q143..q150; the round-8 principle:
-never-verified beats stale-but-verified) plus ALL 39 remaining
-r11 rows (q48..q58, q77..q95, q127..q131, q32..q35) — the window
-is EXACTLY the never-verified set plus every r11 row, no r12
-refresh seats left.  This extends the
-round-13 verdict's Next #1 prescription to the mid-round
-additions: q143..q150 were added BEFORE this round's driver gate
-runs, so slotting them into the window now (evicting only
-q59..q66, which keep fresh r12 rows) clears the whole
-never-driver-verified set in one round instead of carrying a
-structural 8-query gap into round 15.  Names are NOT aliased —
-same canonical ``qNN``, same QuerySpec, same oracle; only dict
-insertion order moves.  q01..q15 + q59..q76 + q96..q126 +
-q132..q139 keep fresh r12/r13 rows, so nothing loses hard
-coverage.  The per-round ledger lives in README §Rotation and the
-full-catalog artifact is CORRECTNESS_local_r{N}.json every round.
+entries, so this round exposes ``q151..q152 + q01..q15 + q59..q76
++ q96..q108 + q132..q133`` first — the round-15 additions
+(q151 domain blocklist audit, q152 its streaming twin; the
+round-8 principle: never-verified beats stale-but-verified) take
+seats first per the round-14 precedent, then the OLDEST driver
+rows refresh: the round-14 verdict's Next #1 set is exactly the
+50 r12 rows (q01..q15 + q59..q76 + q96..q108 + q132..q135), and
+the two new queries displace its tail q134..q135, which keep
+their r12 rows and roll to the round-16 window.  Names are NOT
+aliased — same canonical ``qNN``, same QuerySpec, same oracle;
+only dict insertion order moves.  Everything outside the window
+carries fresh r13/r14 rows, so nothing loses hard coverage.  The
+per-round ledger lives in README §Rotation and the full-catalog
+artifact is CORRECTNESS_local_r{N}.json every round.
 """
 
 from __future__ import annotations
@@ -39,27 +34,27 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 14; round-13 verdict "Next round #1",
-# extended to the round-14 additions): q140..q150 (EVERY
-# never-driver-verified query — q140..q142 from round 13, q143..q150
-# added this round before the gate) + q48..q58 + q77..q95 +
-# q127..q131 + q32..q35 (all 39 remaining r11 rows).  Exactly 50
-# entries: the never-verified set plus every r11 row.
+# of catalog numbers (round 15; round-14 verdict "Next round #1"):
+# q151..q152 (this round's additions — never driver-verified, seated
+# first per the round-14 precedent) + the oldest r12 rows q01..q15 +
+# q59..q76 + q96..q108 + q132..q133 (the prescribed r12 set minus its
+# tail q134..q135, displaced by the two additions; they keep their
+# r12 rows and roll to round 16).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(140, 151))
-    + list(range(48, 59))
-    + list(range(77, 96))
-    + list(range(127, 132))
-    + list(range(32, 36))
+    list(range(151, 153))
+    + list(range(1, 16))
+    + list(range(59, 77))
+    + list(range(96, 109))
+    + list(range(132, 134))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-14 window order: the explicit ``_WINDOW`` list first (in
-    list position, NOT numeric order — q140..q150 lead so a mid-round
-    catalog addition q151+ cannot evict them), then everything else in
+    """Round-15 window order: the explicit ``_WINDOW`` list first (in
+    list position, NOT numeric order — q151..q152 lead so a mid-round
+    catalog addition q153+ cannot evict them), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
     sorted() would slot q100 between q10 and q11)."""
     m = re.match(r"q(\d+)", name)

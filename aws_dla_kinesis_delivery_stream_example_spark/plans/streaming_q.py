@@ -27,6 +27,7 @@ from .curation10 import HIST_ORACLE as _HIST_ORACLE
 from .curation12 import DSIR_ORACLE as _DSIR_ORACLE
 from .curation13 import PII_ORACLE as _PII_ORACLE
 from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE
+from .curation17 import BLOCKLIST_ORACLE as _BLOCKLIST_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -873,3 +874,43 @@ def q150_streaming_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, attrition_counters, "complete", partitions="2"
     )
     return attrition_finalize(state)
+
+
+@query(
+    "q152_streaming_blocklist",
+    # identical oracle to q151: the stream's per-(source, domain)
+    # counter state must equal the batch counters row-for-row, and the
+    # whole report derives FROM that state, so both faces finalize
+    # identically
+    oracle=_BLOCKLIST_ORACLE,
+    description="STREAMING domain blocklist audit: q151's per-(source, "
+    "domain) doc/token counters maintained as complete-mode streaming "
+    "aggregation state while documents arrive, finalized to the "
+    "identical blocklist + domain-concentration report from the "
+    "drained state alone (identical oracle — the q143/q144, q149/q150 "
+    "twin convention); this is the gate watched LIVE: a blocklisted "
+    "domain suddenly dominating a source's ingest pages before the "
+    "nightly batch audit",
+    tags=("streaming", "llm", "curation"),
+)
+def q152_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the domain plant and token count run scan-side
+    INSIDE the stream (whole-stage codegen, zero Python crossings);
+    each micro-batch collapses map-side to one partial per (source,
+    domain) before touching state, so state is |sources| x |domains|
+    BIGINT-pair rows — the q145/q91 per-key family (grows with DOMAIN
+    cardinality only, never ingest volume; the web's domain count
+    bounds it at any corpus size), mergeable across shards (all
+    counters linear). Linear counts are NOT idempotent, so
+    at-least-once ingestion needs upstream dedup (q51/q83) — q134's
+    documented caveat. The blocklist flag, rollup, and top-domain
+    window run once on the drained counter table."""
+    from .curation17 import _domain_augment, domain_counters, domain_finalize
+
+    def op(df):
+        return domain_counters(_domain_augment(df))
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return domain_finalize(state)

@@ -557,10 +557,35 @@ def extreme_tier_rehearsal(
     _release()
     spark.catalog.clearCache()
 
+    # round-15: dHash at the extreme tier, BOTH geometries (round-14
+    # verdict Next #5) — the wide remedy's collision claim MEASURED at
+    # ~500k images: the bench 16-bit bands saturate (candidate exponent
+    # drifts toward 2 — C(n,2)*4/2^16 collisions dominate the planted
+    # n/9 floor), while the wide 64-bit bands hold the linear floor.
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import (
+        multimodal as _mm,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        stage as _stage,
+    )
+
+    _media = _stage(_mm.synthesize_gray_bmp(docs))
+    _sigs = _stage(_mm.dhash_bands(_media))
+    row["dhash_candidates"], row["dhash_sec"] = timed(
+        lambda: _mm.dhash_band_candidates(_sigs).count()
+    )
+    _wide = _stage(_mm.dhash_bands(_media, grid=_mm.DHASH_GEOM_WIDE))
+    row["dhash_wide_candidates"], row["dhash_wide_sec"] = timed(
+        lambda: _mm.dhash_band_candidates(_wide).count()
+    )
+    _release()
+    spark.catalog.clearCache()
+
     if ref_row:
         growth = math.log10(row["n_docs"] / max(ref_row["n_docs"], 1))
         for op in ("minhash", "simhash", "jaccard", "tfidf_abs", "spans", "rewrite",
-                   "quantann", "fuzzy", "snm", "dsir", "pii"):
+                   "quantann", "fuzzy", "snm", "dsir", "pii", "dhash",
+                   "dhash_wide"):
             if f"{op}_candidates" not in ref_row:
                 continue
             c_lo = max(ref_row[f"{op}_candidates"], 1)
@@ -1163,18 +1188,25 @@ def main() -> None:
             stage as _stage,
         )
 
-        _sigs = _stage(
-            _mm.dhash_bands(
-                _mm.synthesize_gray_bmp(
-                    load_table(spark, sf_dir, "documents")
-                )
-            )
-        )
+        _media = _stage(
+            _mm.synthesize_gray_bmp(load_table(spark, sf_dir, "documents"))
+        )  # staged: bench AND wide signatures decode the same corpus once
+        _sigs = _stage(_mm.dhash_bands(_media))
         # the SAME candidate generator the query runs (round-14 review:
         # a copy here could silently curve a different blocking)
         row["dhash_candidates"] = _mm.dhash_band_candidates(_sigs).count()
         _, row["dhash_sec"] = timed(
             lambda: specs["q146_image_dhash_dedup"].spark(spark, sf_dir).count()
+        )
+        # round-15: the DHASH_GEOM_WIDE remedy measured, not only
+        # pinned (round-14 verdict Next #5) — same decoded corpus,
+        # 17x16 grid -> 4 x 64-bit bands: candidates should hug the
+        # planted linear floor (~n/9 near-dup pairs, band collisions at
+        # ~2^-64), so the wide exponent stays ~1 across tiers where the
+        # bench geometry's 16-bit bands saturate toward 2.
+        _wide = _stage(_mm.dhash_bands(_media, grid=_mm.DHASH_GEOM_WIDE))
+        row["dhash_wide_candidates"], row["dhash_wide_sec"] = timed(
+            lambda: _mm.dhash_band_candidates(_wide).count()
         )
         release_staging()
         spark.catalog.clearCache()
@@ -1194,6 +1226,7 @@ def main() -> None:
         "overlap", "chunking", "knngraph", "crossdedup",
         "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
         "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii", "dhash",
+        "dhash_wide",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

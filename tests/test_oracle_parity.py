@@ -41,18 +41,17 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-14 window shift (README §Rotation; round-13 verdict Next
-    # #1, extended to the mid-round additions): exposed names are the
-    # canonical catalog names, but insertion order puts the EXPLICIT
-    # window list q140..q150 + q48..q58 + q77..q95 + q127..q131 +
-    # q32..q35 FIRST so the driver's 50-entry correctness window
-    # earns hard rows for EVERY never-driver-verified query
-    # (q140..q142 from round 13 AND this round's q143..q150) while
-    # refreshing ALL 39 remaining r11 rows. The tail is in NUMERIC query order (lexicographic would
-    # slot q100 between q10 and q11). No aNN aliases. Additions past
-    # q150 would sort after the window. The sort key is the entry
-    # module's own (one source of truth); the window invariant is
-    # asserted independently below.
+    # Round-15 window shift (README §Rotation; round-14 verdict Next
+    # #1): exposed names are the canonical catalog names, but
+    # insertion order puts the EXPLICIT window list q151..q152 +
+    # q01..q15 + q59..q76 + q96..q108 + q132..q133 FIRST — the
+    # round-15 additions earn their first driver rows and the oldest
+    # (r12) rows refresh; q134..q135, displaced by the two additions,
+    # keep their r12 rows and roll to round 16. The tail is in
+    # NUMERIC query order (lexicographic would slot q100 between q10
+    # and q11). No aNN aliases. Additions past q152 would sort after
+    # the window. The sort key is the entry module's own (one source
+    # of truth); the window invariant is asserted independently below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
@@ -65,19 +64,19 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(140, 151))
-        + list(range(48, 59))
-        + list(range(77, 96))
-        + list(range(127, 132))
-        + list(range(32, 36))
+        list(range(151, 153))
+        + list(range(1, 16))
+        + list(range(59, 77))
+        + list(range(96, 109))
+        + list(range(132, 134))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-14 window (an EXPLICIT bounded list, so a late catalog
-    # addition q151+ cannot silently evict its tail).
+    # round-15 window (an EXPLICIT bounded list, so a late catalog
+    # addition q153+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q140..q150 + q48..q58 + q77..q95 + "
-        "q127..q131 + q32..q35"
+        "driver window is not q151..q152 + q01..q15 + q59..q76 + "
+        "q96..q108 + q132..q133"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

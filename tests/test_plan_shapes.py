@@ -619,3 +619,25 @@ def test_q146_payload_never_crosses_an_exchange(spark):
         assert offenders == [], f"payload bytes cross an exchange: {offenders[:1]}"
     finally:
         release_staging()
+
+
+def test_round15_exchange_budgets(spark):
+    """Round-15 addition (q151; q152 is a streaming drain), tree-walk
+    budget with the staged subtree excluded: the staged flagged-counter
+    frame holds the corpus scan + its ONE exchange (the map-side
+    combined (source, domain) agg) + the broadcast blocklist flag;
+    above it sit the per-source rollup exchange, the top-domain window
+    repartition, and the final sort (measured 3; +2 allows AQE
+    swapping the left-outer rollup/top join strategy). A regression
+    that un-stages the counter frame re-derives the corpus scan in
+    both join arms and blows this."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q151_domain_blocklist"].spark(spark, SF)
+    try:
+        n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+    finally:
+        release_staging()
+    assert n <= 5, f"q151_domain_blocklist: {n} exchanges (budget 5)"

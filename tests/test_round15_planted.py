@@ -10,6 +10,15 @@
    both the fixtures and the real q148 output at the smoke SF, where
    the bench corpus has no deficit and the redistribution must be the
    identity.
+2. q151 (domain blocklist gate + domain-share audit) and its
+   streaming twin q152: a handmade corpus exercising every audit
+   face (blocked/kept counts, the all-blocked kept_docs = 0 guard,
+   the deterministic top-domain tie-break) with the DuckDB oracle
+   hash-compared on the fixture; the library gate pinned to agree
+   with the audit's kept_docs (the q149/q30 single-source-of-truth
+   discipline) and to let no blocklisted domain through; and
+   stream == batch row-for-row (crash-resume lives in
+   tests/test_stateful.py).
 """
 
 from __future__ import annotations
@@ -144,3 +153,88 @@ def test_waterfill_identity_on_bench_corpus(spark):
         assert r.wf_rounds == 0
         assert r.wf_leftover_tok == 0
     _assert_invariants(out)
+
+
+# ------------------------------------------------ q151 / q152 blocklist
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation17 import (  # noqa: E402
+    BLOCKLIST,
+    _domain_augment,
+    blocklist_gate,
+)
+from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import (  # noqa: E402
+    load_table,
+)
+
+from .test_round14_planted import _duck_on_documents  # noqa: E402
+from .test_round11_planted import _write_documents  # noqa: E402
+
+
+def _blocklist_fixture(tmp_path) -> str:
+    """Handmade corpus exercising every audit face. Domains derive
+    from doc_id % 97 ('site{n}.example'); site0/site10/site20/... are
+    blocklisted.
+
+    s0: ids 0, 97 -> site0 (blocked), 10 -> site10 (blocked);
+        ids 1, 98 -> site1 (kept, 2 docs = top), 2 -> site2 (kept)
+    s1: ids 194 -> site0, 20 -> site20 — EVERY doc blocked (the
+        kept_docs = 0 empty-stratum guard, both faces)
+    s2: ids 3 -> site3, 4 -> site4 — kept tie at 1 doc each, broken
+        to the lexicographically smallest domain (site3)
+    """
+    rows = [
+        (0, "a b", "en", "s0", None),          # site0  blocked, 2 tok
+        (97, "c", "en", "s0", None),           # site0  blocked, 1 tok
+        (10, "d e f", "en", "s0", None),       # site10 blocked, 3 tok
+        (1, "g", "en", "s0", None),            # site1  kept
+        (98, "h", "en", "s0", None),           # site1  kept
+        (2, "i", "en", "s0", None),            # site2  kept
+        (194, "x", "en", "s1", None),          # site0  blocked, 1 tok
+        (20, "y z", "en", "s1", None),         # site20 blocked, 2 tok
+        (3, "p", "en", "s2", None),            # site3  kept
+        (4, "q", "en", "s2", None),            # site4  kept
+    ]
+    return _write_documents(tmp_path, rows)
+
+
+def test_q151_planted_fixture(spark, tmp_path):
+    """Hand-computed expectations for every audit face: blocked
+    counts/rates, the all-blocked kept_docs = 0 guard, and the
+    deterministic top-domain tie-break; the oracle agrees on the
+    fixture (one plan execution serves both assertions)."""
+    d = _blocklist_fixture(tmp_path)
+    rows = SPECS["q151_domain_blocklist"].spark(spark, d).collect()
+    got = {r.source: tuple(r)[1:] for r in rows}
+    #             n_docs n_dom blk_docs blk_tok rate kept top         share
+    assert got == {
+        "s0": (6, 4, 3, 6, 500, 3, "site1.example", 666),
+        "s1": (2, 2, 2, 3, 1000, 0, "", 0),
+        "s2": (2, 2, 0, 0, 0, 2, "site3.example", 500),
+    }
+    assert [tuple(r) for r in rows] == _duck_on_documents(
+        d, SPECS["q151_domain_blocklist"].oracle
+    )
+
+
+def test_q151_gate_agrees_with_audit(spark):
+    """The single-source-of-truth pin (the q149/q30 discipline): the
+    library gate's keep-set cardinality equals the audit's kept_docs
+    total, and no blocklisted domain survives the gate."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    aug = _domain_augment(docs)
+    kept = blocklist_gate(aug)
+    audit = SPECS["q151_domain_blocklist"].spark(spark, SF_SMOKE).collect()
+    assert kept.count() == sum(r.kept_docs for r in audit)
+    surviving = {r.domain for r in kept.select("domain").distinct().collect()}
+    assert surviving.isdisjoint(set(BLOCKLIST))
+    # non-vacuity: the planted stratum blocks ~10/97 of any slice
+    assert sum(r.blocked_docs for r in audit) > 0
+    assert sum(r.n_docs for r in audit) == docs.count()
+
+
+def test_q152_stream_equals_batch(spark):
+    """The twin discipline: q152's drained complete-mode counter state
+    must finalize to q151's report row-for-row."""
+    batch = [tuple(r) for r in SPECS["q151_domain_blocklist"].spark(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in SPECS["q152_streaming_blocklist"].spark(spark, SF_SMOKE).collect()]
+    assert batch == stream and len(batch) > 0

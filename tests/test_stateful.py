@@ -680,3 +680,61 @@ def test_streaming_attrition_resume_from_checkpoint(spark, tmp_path):
     # state never exceeds |sources| x |reasons|
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
     assert len(final) <= 20 * 5
+
+
+def test_streaming_blocklist_resume_from_checkpoint(spark, tmp_path):
+    """q152's per-(source, domain) counter state joins the per-key
+    streaming family WITH crash-resume evidence in the same round (the
+    q144/q145/q150 convention): kill between micro-batches, restart
+    from the checkpoint, and the FINAL complete-mode counters must
+    equal the batch-built ones row-for-row — so the blocklist report
+    finalized from that state matches q151 exactly. Counts are linear
+    (q134's at-least-once caveat applies), so a state reset shows up
+    as second-half-only counts and fails the compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation17 import (
+        _domain_augment,
+        domain_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            domain_counters(_domain_augment(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): (r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("bl_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("bl_resume_2")
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in domain_counters(_domain_augment(docs)).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed counters strictly extend the pre-crash ones, and the
+    # state stays per-key-bounded: |sources| x |domains| (97 planted)
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+    assert set(partial) <= set(final)
+    assert len(final) <= 20 * 97
