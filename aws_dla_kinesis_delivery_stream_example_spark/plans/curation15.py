@@ -309,6 +309,13 @@ def waterfill_allocation(alloc: DataFrame) -> DataFrame:
         ),
         key=lambda t: t[0],
     )
+    if len({s for s, _, _, _ in rows}) != len(rows):
+        # a repeated source would silently collapse into one dict slot,
+        # undercounting the budget — reject loudly (round-15 review)
+        raise ValueError(
+            "waterfill_allocation: duplicate source names in the "
+            "allocation frame — aggregate to one row per source first"
+        )
     cap = {s: _Q148_CAP_EPOCHS * n for s, n, _, _ in rows}
     w = {s: wm for s, _, wm, _ in rows}
     alloc0 = {s: a for s, _, _, a in rows}

@@ -67,22 +67,33 @@ def _domain_augment(docs: DataFrame) -> DataFrame:
     )
 
 
-def blocklist_frame(spark: SparkSession) -> DataFrame:
-    """The blocklist as a tiny dim frame — the shape a production list
-    loads into (a file of domains), joined by broadcast everywhere."""
+def blocklist_frame(
+    spark: SparkSession, domains: tuple[str, ...] = BLOCKLIST
+) -> DataFrame:
+    """A blocklist as a tiny dim frame — the shape a production list
+    loads into (a file of domains), joined by broadcast everywhere.
+    Defaults to the planted bench list; pass any domain collection
+    (round-15 review: the library pieces must take REAL blocklists,
+    not only the fixture)."""
     return spark.createDataFrame(
-        [(d,) for d in BLOCKLIST], "domain string"
+        [(d,) for d in domains], "domain string"
     ).withColumn("_blocked", F.lit(1))
 
 
-def blocklist_gate(df: DataFrame) -> DataFrame:
+def blocklist_gate(df: DataFrame, blocklist: DataFrame | None = None) -> DataFrame:
     """THE C4 gate: drop every row whose ``domain`` is blocklisted —
     a broadcast LEFT ANTI join (the list is broadcast-sized by nature;
-    the corpus never shuffles). Library mode; the audit (q151) reports
-    what this gate removes, and the planted pin asserts
+    the corpus never shuffles). Library mode: ``blocklist`` is any
+    frame with a ``domain`` column (a production list read from a
+    file), defaulting to the planted bench list. The audit (q151)
+    reports what this gate removes, and the planted pin asserts
     ``blocklist_gate(aug).count() == sum(kept_docs)`` so gate and
     audit cannot drift."""
-    bl = blocklist_frame(df.sparkSession).select("domain")
+    bl = (
+        blocklist.select("domain")
+        if blocklist is not None
+        else blocklist_frame(df.sparkSession).select("domain")
+    )
     return df.join(F.broadcast(bl), "domain", "left_anti")
 
 
@@ -110,7 +121,9 @@ def domain_counters(df: DataFrame) -> DataFrame:
     )
 
 
-def domain_finalize(counters: DataFrame) -> DataFrame:
+def domain_finalize(
+    counters: DataFrame, blocklist: DataFrame | None = None
+) -> DataFrame:
     """Finalize the audit from the counter table ALONE (batch-built or
     drained from streaming state): flag each domain against the
     broadcast blocklist, roll up per-source blocked counts/rates
@@ -119,11 +132,18 @@ def domain_finalize(counters: DataFrame) -> DataFrame:
     deterministic-tie-break house rule). A source whose every domain
     is blocked reports kept_docs = 0, top_domain = '' and share 0
     instead of dividing by zero (the q140/q148 empty-stratum lesson,
-    guarded on both faces). Every step runs on the counter frame —
-    |sources| x |domains| rows, never the corpus."""
+    guarded on both faces). ``blocklist``: any frame with ``domain``
+    + ``_blocked`` columns (``blocklist_frame`` builds one from a
+    domain collection), defaulting to the planted bench list. Every
+    step runs on the counter frame — |sources| x |domains| rows,
+    never the corpus."""
     from ..operators.staging import stage
 
-    bl = blocklist_frame(counters.sparkSession)
+    bl = (
+        blocklist
+        if blocklist is not None
+        else blocklist_frame(counters.sparkSession)
+    )
     f = stage(
         counters.join(F.broadcast(bl), "domain", "left").select(
             "source",
@@ -189,11 +209,14 @@ def domain_finalize(counters: DataFrame) -> DataFrame:
     )
 
 
-def domain_audit_report(df: DataFrame) -> DataFrame:
+def domain_audit_report(
+    df: DataFrame, blocklist: DataFrame | None = None
+) -> DataFrame:
     """Per-source blocklist + domain-concentration audit of any
-    (source, domain, text) frame: one corpus pass into the tiny
+    (source, domain, text) frame against any blocklist frame
+    (default: the planted bench list): one corpus pass into the tiny
     counter agg, then every derivation on the counter table."""
-    return domain_finalize(domain_counters(df))
+    return domain_finalize(domain_counters(df), blocklist)
 
 
 _BL_SQL = ", ".join(f"'{d}'" for d in BLOCKLIST)

@@ -238,3 +238,51 @@ def test_q152_stream_equals_batch(spark):
     batch = [tuple(r) for r in SPECS["q151_domain_blocklist"].spark(spark, SF_SMOKE).collect()]
     stream = [tuple(r) for r in SPECS["q152_streaming_blocklist"].spark(spark, SF_SMOKE).collect()]
     assert batch == stream and len(batch) > 0
+
+
+# ------------------------------------------- round-15 review fixes
+
+
+def test_waterfill_rejects_duplicate_sources(spark):
+    """A repeated source name would silently collapse into one dict
+    slot and undercount the budget — the loop must refuse loudly
+    (round-15 review)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("s0", 10, 1000, 100), ("s0", 20, 1000, 0)], _ALLOC_SCHEMA
+    )
+    with _pytest.raises(ValueError, match="duplicate source"):
+        waterfill_allocation(df)
+
+
+def test_blocklist_library_mode_takes_a_real_list(spark):
+    """The library pieces must take REAL blocklists, not only the
+    planted fixture (round-15 review): drive gate + audit on handmade
+    real-shaped domains with a custom blocklist frame and pin the
+    blocked/kept accounting by hand."""
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation17 import (
+        blocklist_frame,
+        domain_audit_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s0", "spam.example.com", "a b"),
+            ("s0", "spam.example.com", "c"),
+            ("s0", "good.org", "d e"),
+            ("s0", "fine.net", "f"),
+            ("s1", "tracker.io", "g h i"),
+        ],
+        "source string, domain string, text string",
+    )
+    bl = blocklist_frame(df.sparkSession, ("spam.example.com", "tracker.io"))
+    got = {r.source: tuple(r)[1:] for r in domain_audit_report(df, bl).collect()}
+    #             n_docs n_dom blk_docs blk_tok rate  kept top        share
+    assert got == {
+        "s0": (4, 3, 2, 3, 500, 2, "fine.net", 500),
+        "s1": (1, 1, 1, 3, 1000, 0, "", 0),
+    }
+    kept = blocklist_gate(df, bl)
+    assert kept.count() == 2
+    assert {r.domain for r in kept.collect()} == {"good.org", "fine.net"}
