@@ -5,23 +5,24 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q152`` as of round-15;
+Naming: canonical catalog names (``q01..q154`` as of round-15;
 new queries append past that), in a round-15 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q151..q152 + q01..q15 + q59..q76
-+ q96..q108 + q132..q133`` first — the round-15 additions
-(q151 domain blocklist audit, q152 its streaming twin; the
-round-8 principle: never-verified beats stale-but-verified) take
-seats first per the round-14 precedent, then the OLDEST driver
-rows refresh: the round-14 verdict's Next #1 set is exactly the
-50 r12 rows (q01..q15 + q59..q76 + q96..q108 + q132..q135), and
-the two new queries displace its tail q134..q135, which keep
-their r12 rows and roll to the round-16 window.  Names are NOT
-aliased — same canonical ``qNN``, same QuerySpec, same oracle;
-only dict insertion order moves.  Everything outside the window
-carries fresh r13/r14 rows, so nothing loses hard coverage.  The
-per-round ledger lives in README §Rotation and the full-catalog
-artifact is CORRECTNESS_local_r{N}.json every round.
+entries, so this round exposes ``q151..q154 + q01..q15 + q59..q76
++ q96..q108`` first — the four round-15 additions (q151 domain
+blocklist audit, q153 mojibake repair audit, and their streaming
+twins q152/q154; the round-8 principle: never-verified beats
+stale-but-verified) take seats first per the round-14 precedent,
+then the OLDEST driver rows refresh: the round-14 verdict's
+Next #1 set is exactly the 50 r12 rows (q01..q15 + q59..q76 +
+q96..q108 + q132..q135), and the four new queries displace its
+tail q132..q135, which keep their r12 rows and roll to the
+round-16 window.  Names are NOT aliased — same canonical
+``qNN``, same QuerySpec, same oracle; only dict insertion order
+moves.  Everything outside the window carries fresh r13/r14
+rows, so nothing loses hard coverage.  The per-round ledger
+lives in README §Rotation and the full-catalog artifact is
+CORRECTNESS_local_r{N}.json every round.
 """
 
 from __future__ import annotations
@@ -35,17 +36,16 @@ from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
 # of catalog numbers (round 15; round-14 verdict "Next round #1"):
-# q151..q152 (this round's additions — never driver-verified, seated
+# q151..q154 (this round's additions — never driver-verified, seated
 # first per the round-14 precedent) + the oldest r12 rows q01..q15 +
-# q59..q76 + q96..q108 + q132..q133 (the prescribed r12 set minus its
-# tail q134..q135, displaced by the two additions; they keep their
-# r12 rows and roll to round 16).  Exactly 50 entries.
+# q59..q76 + q96..q108 (the prescribed r12 set minus its tail
+# q132..q135, displaced by the four additions; they keep their r12
+# rows and roll to round 16).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(151, 153))
+    list(range(151, 155))
     + list(range(1, 16))
     + list(range(59, 77))
     + list(range(96, 109))
-    + list(range(132, 134))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
@@ -53,8 +53,8 @@ _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
     """Round-15 window order: the explicit ``_WINDOW`` list first (in
-    list position, NOT numeric order — q151..q152 lead so a mid-round
-    catalog addition q153+ cannot evict them), then everything else in
+    list position, NOT numeric order — q151..q154 lead so a mid-round
+    catalog addition q155+ cannot evict them), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
     sorted() would slot q100 between q10 and q11)."""
     m = re.match(r"q(\d+)", name)

@@ -28,6 +28,7 @@ from .curation12 import DSIR_ORACLE as _DSIR_ORACLE
 from .curation13 import PII_ORACLE as _PII_ORACLE
 from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE
 from .curation17 import BLOCKLIST_ORACLE as _BLOCKLIST_ORACLE
+from .curation18 import MOJIBAKE_ORACLE as _MOJIBAKE_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -914,3 +915,41 @@ def q152_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return domain_finalize(state)
+
+
+@query(
+    "q154_streaming_mojibake",
+    # identical oracle to q153: the stream's per-source counter state
+    # must equal the batch counters row-for-row, and the rate derives
+    # FROM that state, so both faces finalize identically
+    oracle=_MOJIBAKE_ORACLE,
+    description="STREAMING mojibake audit: q153's five LINEAR "
+    "per-source counters maintained as complete-mode streaming "
+    "aggregation state while documents arrive — the repair-at-"
+    "ingestion shape (the reference transform stage's other "
+    "production role next to q144's PII scrub); state = |sources| x "
+    "5 BIGINTs, constant at any ingest volume, mergeable across "
+    "shards; the drained state alone finalizes the identical report "
+    "(identical oracle — the q143/q144, q151/q152 twin convention)",
+    tags=("streaming", "llm", "curation"),
+)
+def q154_streaming_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the mojibake plant, detection arithmetic, repair,
+    and residual re-scan run scan-side INSIDE the stream (whole-stage
+    codegen, zero Python crossings); each micro-batch collapses
+    map-side to one partial per source before touching state, so
+    state is |sources| x 5 BIGINTs — CONSTANT at any ingest volume
+    (the q113/q121/q129/q134/q136/q141/q144/q150 constant-state
+    family), mergeable across shards (all counters linear). Linear
+    counts are NOT idempotent, so at-least-once ingestion needs
+    upstream dedup (q51/q83) — q134's documented caveat. The rate
+    projection runs once on the drained counter table."""
+    from .curation18 import _mojibake_augment, mojibake_counters, mojibake_finalize
+
+    def op(df):
+        return mojibake_counters(_mojibake_augment(df))
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return mojibake_finalize(state)

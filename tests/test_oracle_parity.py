@@ -43,13 +43,13 @@ def test_entry_contract(spark):
     assert len(qs) >= 25
     # Round-15 window shift (README §Rotation; round-14 verdict Next
     # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q151..q152 +
-    # q01..q15 + q59..q76 + q96..q108 + q132..q133 FIRST — the
-    # round-15 additions earn their first driver rows and the oldest
-    # (r12) rows refresh; q134..q135, displaced by the two additions,
+    # insertion order puts the EXPLICIT window list q151..q154 +
+    # q01..q15 + q59..q76 + q96..q108 FIRST — the four round-15
+    # additions earn their first driver rows and the oldest (r12)
+    # rows refresh; q132..q135, displaced by the four additions,
     # keep their r12 rows and roll to round 16. The tail is in
     # NUMERIC query order (lexicographic would slot q100 between q10
-    # and q11). No aNN aliases. Additions past q152 would sort after
+    # and q11). No aNN aliases. Additions past q154 would sort after
     # the window. The sort key is the entry module's own (one source
     # of truth); the window invariant is asserted independently below.
     import re as _re
@@ -64,19 +64,18 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(151, 153))
+        list(range(151, 155))
         + list(range(1, 16))
         + list(range(59, 77))
         + list(range(96, 109))
-        + list(range(132, 134))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
     # round-15 window (an EXPLICIT bounded list, so a late catalog
-    # addition q153+ cannot silently evict its tail).
+    # addition q155+ cannot silently evict its tail).
     assert nums[:50] == expected_window, (
-        "driver window is not q151..q152 + q01..q15 + q59..q76 + "
-        "q96..q108 + q132..q133"
+        "driver window is not q151..q154 + q01..q15 + q59..q76 + "
+        "q96..q108"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

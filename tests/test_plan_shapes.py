@@ -641,3 +641,16 @@ def test_round15_exchange_budgets(spark):
     finally:
         release_staging()
     assert n <= 5, f"q151_domain_blocklist: {n} exchanges (budget 5)"
+
+
+def test_round15b_exchange_budgets(spark):
+    """Round-15 second batch (q153; q154 is a streaming drain): the
+    mojibake plant, length-arithmetic detection, chained literal
+    repair, and residual re-scan are ONE scan-side codegen pass; the
+    only exchanges are the |sources|-row agg and the final sort
+    (measured 2; +1 headroom). A third exchange means the audit
+    stopped collapsing map-side — the q143/q149 cheapest-class shape
+    regressed."""
+    df = all_specs()["q153_mojibake_audit"].spark(spark, SF)
+    n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
+    assert n <= 3, f"q153_mojibake_audit: {n} exchanges (budget 3)"

@@ -19,6 +19,14 @@
    discipline) and to let no blocklisted domain through; and
    stream == batch row-for-row (crash-resume lives in
    tests/test_stateful.py).
+3. q153 (encoding/mojibake repair audit) and its streaming twin
+   q154: the generated-table pins (every entry IS the cp1252 double
+   encoding of its target; round-trip; mutually non-manufacturing),
+   a handmade mojibake corpus with hand-computed counts and the
+   DuckDB oracle compared on the fixture, adversarial
+   replace-semantics cases (adjacent runs, bare shared prefix,
+   half-keys) pinned equal to a pure-python model plus idempotent,
+   and stream == batch row-for-row.
 """
 
 from __future__ import annotations
@@ -286,3 +294,106 @@ def test_blocklist_library_mode_takes_a_real_list(spark):
     kept = blocklist_gate(df, bl)
     assert kept.count() == 2
     assert {r.domain for r in kept.collect()} == {"good.org", "fine.net"}
+
+
+# ------------------------------------------ q153 / q154 mojibake audit
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation18 import (  # noqa: E402
+    MOJIBAKE_MAP,
+    double_encode,
+    mojibake_audit_report,
+    mojibake_repair,
+)
+
+
+def _py_repair(text: str) -> str:
+    """Independent pure-python model of the repair chain (same
+    left-to-right non-overlapping semantics as Java/DuckDB replace)."""
+    for bad, good in MOJIBAKE_MAP:
+        text = text.replace(bad, good)
+    return text
+
+
+def test_mojibake_map_is_the_cp1252_double_encoding():
+    """The table is generated, not hand-typed: every entry must be
+    exactly utf8-bytes-misread-as-cp1252 of its target, every repair
+    must round-trip, and no entry's OUTPUT may contain any map key
+    (the non-manufacturing property the residual column watches)."""
+    for bad, good in MOJIBAKE_MAP:
+        assert bad == good.encode("utf-8").decode("cp1252")
+        assert len(bad) > 1 and len(good) == 1
+        assert _py_repair(bad) == good
+    keys = [bad for bad, _ in MOJIBAKE_MAP]
+    for _, good in MOJIBAKE_MAP:
+        assert all(k not in good for k in keys)
+
+
+def test_q153_planted_fixture(spark, tmp_path):
+    """Handmade mojibake corpus with doc_ids outside every planted
+    stratum (no multiples of 5/7/11 — the augmentation is the
+    identity), expectations hand-computed per the python model, and
+    the DuckDB oracle hash-compared on the fixture."""
+    cafe = "caf" + double_encode("é")           # 2-char seq, repairs to 1
+    quote = "don" + double_encode("’") + "t"    # 3-char seq
+    rows = [
+        # s0: one doc with two sequences (4 chars repaired: 1 + 2),
+        # one clean ASCII doc, one doc already containing the GOOD
+        # char (no detection, no rewrite)
+        (1, f"{cafe} and {quote}", "en", "s0", None),
+        (2, "plain ascii text", "en", "s0", None),
+        (3, "already café fixed", "en", "s0", None),
+        # s1: the same sequence twice in one doc
+        (13, f"{cafe} {cafe}", "en", "s1", None),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = SPECS["q153_mojibake_audit"].spark(spark, d).collect()
+    got = {r.source: tuple(r)[1:] for r in out}
+    #            n_docs with  n_seq chars rate  resid
+    assert got == {
+        "s0": (3, 1, 2, 3, 333, 0),
+        "s1": (1, 1, 2, 2, 1000, 0),
+    }
+    assert [tuple(r) for r in out] == _duck_on_documents(
+        d, SPECS["q153_mojibake_audit"].oracle
+    )
+
+
+def test_mojibake_repair_matches_python_model_on_adversarial_text(spark):
+    """The cross-engine replace-semantics claim on adversarial
+    fixtures: adjacent/overlapping sequences, the bare shared prefix
+    (not a key — must survive), keys split across repaired output,
+    and a long pathological run. Spark's chained replace must equal
+    the python model character-for-character, and re-repairing the
+    repaired text must be the identity (idempotence on these
+    fixtures)."""
+    from pyspark.sql import functions as F
+
+    prefix = double_encode("’")[:2]  # the bare 2-char quote prefix
+    cases = [
+        double_encode("é") * 5,                       # adjacent run
+        prefix,                                        # bare prefix survives
+        prefix + double_encode("é"),                   # prefix abuts a key
+        double_encode("’") + double_encode("“"),       # prefix-sharing keys
+        "x" + double_encode("ñ") * 3 + "y",
+        double_encode("é")[0] + double_encode("é"),    # leading half-key
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    reps = [
+        r.rep
+        for r in df.select(mojibake_repair(F.col("text")).alias("rep"))
+        .collect()
+    ]
+    for case, rep in zip(cases, reps):
+        assert rep == _py_repair(case), f"diverged on {case!r}"
+        assert _py_repair(rep) == rep, f"not idempotent on {case!r}"
+
+
+def test_q154_stream_equals_batch(spark):
+    """The twin discipline: q154's drained complete-mode counter state
+    must finalize to q153's report row-for-row."""
+    batch = [tuple(r) for r in SPECS["q153_mojibake_audit"].spark(spark, SF_SMOKE).collect()]
+    stream = [tuple(r) for r in SPECS["q154_streaming_mojibake"].spark(spark, SF_SMOKE).collect()]
+    assert batch == stream and len(batch) > 0
+    # non-vacuity: the planted strata put mojibake in every source
+    assert sum(r[3] for r in batch) > 0  # n_seq
+    assert all(r[-1] == 0 for r in batch)  # residual converged

@@ -738,3 +738,58 @@ def test_streaming_blocklist_resume_from_checkpoint(spark, tmp_path):
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
     assert set(partial) <= set(final)
     assert len(final) <= 20 * 97
+
+
+def test_streaming_mojibake_resume_from_checkpoint(spark, tmp_path):
+    """q154's per-source mojibake counter state joins the
+    constant-state streaming family WITH crash-resume evidence in the
+    same round (the q144/q150/q152 convention): kill between
+    micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode counters must equal the batch-built ones
+    row-for-row. All five counters are linear, so a state reset shows
+    up as second-half-only counts and fails the compare; the residual
+    stays 0 through the resume."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation18 import (
+        _mojibake_augment,
+        mojibake_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            mojibake_counters(_mojibake_augment(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: tuple(r)[1:]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("mb_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("mb_resume_2")
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in mojibake_counters(_mojibake_augment(docs)).collect()
+    }
+    assert final == want and len(want) > 0
+    assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
+    assert all(v[-1] == 0 for v in final.values())  # residual through resume
