@@ -647,10 +647,12 @@ def test_round15b_exchange_budgets(spark):
     """Round-15 second batch (q153; q154 is a streaming drain): the
     mojibake plant, length-arithmetic detection, chained literal
     repair, and residual re-scan are ONE scan-side codegen pass; the
-    only exchanges are the |sources|-row agg and the final sort
-    (measured 2; +1 headroom). A third exchange means the audit
-    stopped collapsing map-side — the q143/q149 cheapest-class shape
-    regressed."""
+    only exchanges are the |sources|-row agg and the final sort.
+    Pinned EXACTLY at the measured 2 (the q143 precedent — no joins
+    here, so no AQE strategy swap can legitimately add an exchange;
+    round-15 review: +1 headroom would let the very regression this
+    test documents ship silently): a third exchange means the audit
+    stopped collapsing map-side — the cheapest-class shape regressed."""
     df = all_specs()["q153_mojibake_audit"].spark(spark, SF)
     n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
-    assert n <= 3, f"q153_mojibake_audit: {n} exchanges (budget 3)"
+    assert n <= 2, f"q153_mojibake_audit: {n} exchanges (budget 2)"

@@ -324,8 +324,17 @@ def test_mojibake_map_is_the_cp1252_double_encoding():
         assert len(bad) > 1 and len(good) == 1
         assert _py_repair(bad) == good
     keys = [bad for bad, _ in MOJIBAKE_MAP]
-    for _, good in MOJIBAKE_MAP:
-        assert all(k not in good for k in keys)
+    # the properties one-pass convergence actually rests on (round-15
+    # review: the earlier substring check was vacuous against 1-char
+    # outputs): no key may contain ANOTHER key (chain order would
+    # become load-bearing), and no repair-OUTPUT character may occur
+    # anywhere inside any key (a repair abutting remaining text could
+    # otherwise recombine into a fresh key)
+    for a in keys:
+        assert all(b not in a for b in keys if b != a), f"{a!r} contains a key"
+    out_chars = {good for _, good in MOJIBAKE_MAP}
+    for k in keys:
+        assert out_chars.isdisjoint(set(k)), f"repair output char inside key {k!r}"
 
 
 def test_q153_planted_fixture(spark, tmp_path):
