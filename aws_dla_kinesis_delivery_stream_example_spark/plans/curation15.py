@@ -298,7 +298,8 @@ def waterfill_allocation(alloc: DataFrame) -> DataFrame:
     either caps at least one source (<= |sources| such rounds) or
     moves all but the floor loss (< |uncapped| tokens), after which
     the floor-starved remainder is drained greedily in source order —
-    so rounds <= 2 * |sources| + 1, asserted. Invariants pinned by
+    so rounds <= 2 * |sources| + 1, enforced with a RuntimeError
+    (survives `python -O`, unlike an assert). Invariants pinned by
     test: budget conservation (sum(wf_realized) + leftover ==
     sum(alloc_tok)), no source above cap * n_tok, realized never
     shrinks, leftover nonzero only when every source is capped."""
@@ -328,7 +329,15 @@ def waterfill_allocation(alloc: DataFrame) -> DataFrame:
         uncapped = [s for s in order if realized[s] < cap[s]]
         if not uncapped:
             break
-        assert rounds < max_rounds, "waterfill_allocation failed to converge"
+        if rounds >= max_rounds:
+            # enforced even under `python -O` (a bare assert is
+            # stripped there); termination is structurally guaranteed
+            # by the greedy drain, but the documented <=2|sources|+1
+            # bound is a production invariant, not a debug check
+            raise RuntimeError(
+                "waterfill_allocation failed to converge within "
+                f"{max_rounds} rounds"
+            )
         rounds += 1
         sumw = sum(w[s] for s in uncapped)
         moved = 0
