@@ -6,22 +6,21 @@ queries()     : every declared operator from SURVEY.md §2 — one
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
 Naming: canonical catalog names (``q01..q154`` as of round-15;
-new queries append past that), in a round-15 WINDOW order: the
+new queries append past that), in a round-16 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q151..q154 + q01..q15 + q59..q76
-+ q96..q108`` first — the four round-15 additions (q151 domain
-blocklist audit, q153 mojibake repair audit, and their streaming
-twins q152/q154; the round-8 principle: never-verified beats
-stale-but-verified) take seats first per the round-14 precedent,
-then the OLDEST driver rows refresh: the round-14 verdict's
-Next #1 set is exactly the 50 r12 rows (q01..q15 + q59..q76 +
-q96..q108 + q132..q135), and the four new queries displace its
-tail q132..q135, which keep their r12 rows and roll to the
-round-16 window.  Names are NOT aliased — same canonical
-``qNN``, same QuerySpec, same oracle; only dict insertion order
-moves.  Everything outside the window carries fresh r13/r14
-rows, so nothing loses hard coverage.  The per-round ledger
-lives in README §Rotation and the full-catalog artifact is
+entries, so this round exposes ``q132..q135 + q16..q31 + q36..q47
++ q109..q126`` first — exactly the round-15 verdict's Next #1:
+q132..q135 are the last r12 rows (displaced from the round-15
+window by that round's additions) and the rest is the oldest r13
+block, leaving nothing older than r13 after this round
+(q136..q139 remain the oldest and roll to round 17).  Per the
+standing precedent, round-16 catalog additions (q155+) take
+seats FIRST when they land, and the displaced window tail rolls
+forward.  Names are NOT aliased — same canonical ``qNN``, same
+QuerySpec, same oracle; only dict insertion order moves.
+Everything outside the window carries fresh r14/r15 rows, so
+nothing loses hard coverage.  The per-round ledger lives in
+README §Rotation and the full-catalog artifact is
 CORRECTNESS_local_r{N}.json every round.
 """
 
@@ -35,28 +34,28 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 15; round-14 verdict "Next round #1"):
-# q151..q154 (this round's additions — never driver-verified, seated
-# first per the round-14 precedent) + the oldest r12 rows q01..q15 +
-# q59..q76 + q96..q108 (the prescribed r12 set minus its tail
-# q132..q135, displaced by the four additions; they keep their r12
-# rows and roll to round 16).  Exactly 50 entries.
+# of catalog numbers (round 16; round-15 verdict "Next round #1"):
+# q132..q135 (the only r12 rows left, displaced from the round-15
+# window) + the oldest r13 block q16..q31 + q36..q47 + q109..q126.
+# Round-16 additions (q155+) seat FIRST when they land and the tail
+# rolls forward, per the standing precedent.  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(151, 155))
-    + list(range(1, 16))
-    + list(range(59, 77))
-    + list(range(96, 109))
+    list(range(132, 136))
+    + list(range(16, 32))
+    + list(range(36, 48))
+    + list(range(109, 127))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-15 window order: the explicit ``_WINDOW`` list first (in
-    list position, NOT numeric order — q151..q154 lead so a mid-round
-    catalog addition q155+ cannot evict them), then everything else in
+    """Round-16 window order: the explicit ``_WINDOW`` list first (in
+    list position, NOT numeric order), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
-    sorted() would slot q100 between q10 and q11)."""
+    sorted() would slot q100 between q10 and q11).  Mid-round catalog
+    additions seat at the FRONT of ``_WINDOW`` explicitly when they
+    land; an addition not yet seated sorts after the window."""
     m = re.match(r"q(\d+)", name)
     n = int(m.group(1)) if m else 10**9
     if n in _WINDOW_POS:
@@ -73,11 +72,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-14 window order (module docstring):
-    q140..q150 + q48..q58 + q77..q95 + q127..q131 + q32..q35
-    first, so the driver's 50-entry correctness window covers
-    every never-driver-verified plan plus the oldest stale rows, then
-    the rest of the catalog in numeric order.
+    Insertion order is the round-16 window order (module docstring):
+    q132..q135 + q16..q31 + q36..q47 + q109..q126 first, so the
+    driver's 50-entry correctness window retires the last r12 rows
+    and the oldest r13 block, then the rest of the catalog in
+    numeric order.
     """
     specs = all_specs()
     return {

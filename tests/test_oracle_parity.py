@@ -41,13 +41,13 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-15 window shift (README §Rotation; round-14 verdict Next
+    # Round-16 window shift (README §Rotation; round-15 verdict Next
     # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q151..q154 +
-    # q01..q15 + q59..q76 + q96..q108 FIRST — the four round-15
-    # additions earn their first driver rows and the oldest (r12)
-    # rows refresh; q132..q135, displaced by the four additions,
-    # keep their r12 rows and roll to round 16. The tail is in
+    # insertion order puts the EXPLICIT window list q132..q135 +
+    # q16..q31 + q36..q47 + q109..q126 FIRST — the last r12 rows
+    # and the oldest r13 block refresh, leaving nothing older than
+    # r13 after this round. Round-16 additions (q155+) seat first
+    # when they land and the displaced tail rolls forward. The tail is in
     # NUMERIC query order (lexicographic would slot q100 between q10
     # and q11). No aNN aliases. Additions past q154 would sort after
     # the window. The sort key is the entry module's own (one source
@@ -64,18 +64,19 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(151, 155))
-        + list(range(1, 16))
-        + list(range(59, 77))
-        + list(range(96, 109))
+        list(range(132, 136))
+        + list(range(16, 32))
+        + list(range(36, 48))
+        + list(range(109, 127))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-15 window (an EXPLICIT bounded list, so a late catalog
-    # addition q155+ cannot silently evict its tail).
+    # round-16 window (an EXPLICIT bounded list, so a late catalog
+    # addition cannot silently evict its tail without this test
+    # being updated in the same commit).
     assert nums[:50] == expected_window, (
-        "driver window is not q151..q154 + q01..q15 + q59..q76 + "
-        "q96..q108"
+        "driver window is not q132..q135 + q16..q31 + q36..q47 + "
+        "q109..q126"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"
