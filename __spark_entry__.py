@@ -8,15 +8,16 @@ oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 Naming: canonical catalog names (``q01..q154`` as of round-15;
 new queries append past that), in a round-16 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q132..q135 + q16..q31 + q36..q47
-+ q109..q126`` first — exactly the round-15 verdict's Next #1:
-q132..q135 are the last r12 rows (displaced from the round-15
-window by that round's additions) and the rest is the oldest r13
-block, leaving nothing older than r13 after this round
-(q136..q139 remain the oldest and roll to round 17).  Per the
-standing precedent, round-16 catalog additions (q155+) take
-seats FIRST when they land, and the displaced window tail rolls
-forward.  Names are NOT aliased — same canonical ``qNN``, same
+entries, so this round exposes ``q155/q156 + q132..q135 + q16..q31
++ q36..q47 + q109..q124`` first — the two round-16 additions (q155
+line-level dedup with document rewrite, q156 its streaming counter
+twin; the round-8 principle: never-verified beats
+stale-but-verified) seated first per the standing precedent, then
+exactly the round-15 verdict's Next #1 minus its tail q125/q126
+(displaced by the additions; they keep their r13 rows and roll to
+round 17): q132..q135 are the last r12 rows and the rest is the
+oldest r13 block, leaving nothing older than r13 after this
+round.  Names are NOT aliased — same canonical ``qNN``, same
 QuerySpec, same oracle; only dict insertion order moves.
 Everything outside the window carries fresh r14/r15 rows, so
 nothing loses hard coverage.  The per-round ledger lives in
@@ -35,15 +36,19 @@ from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
 # of catalog numbers (round 16; round-15 verdict "Next round #1"):
-# q132..q135 (the only r12 rows left, displaced from the round-15
-# window) + the oldest r13 block q16..q31 + q36..q47 + q109..q126.
-# Round-16 additions (q155+) seat FIRST when they land and the tail
-# rolls forward, per the standing precedent.  Exactly 50 entries.
+# q155/q156 (this round's additions — line-level dedup with document
+# rewrite and its streaming counter twin; never driver-verified, so
+# they seat FIRST per the standing precedent) + q132..q135 (the only
+# r12 rows left, displaced from the round-15 window) + the oldest r13
+# block q16..q31 + q36..q47 + q109..q124 (the prescribed set minus
+# its tail q125/q126, displaced by the two additions; they keep their
+# r13 rows and roll to round 17).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(132, 136))
+    list(range(155, 157))
+    + list(range(132, 136))
     + list(range(16, 32))
     + list(range(36, 48))
-    + list(range(109, 127))
+    + list(range(109, 125))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
@@ -73,10 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order is the round-16 window order (module docstring):
-    q132..q135 + q16..q31 + q36..q47 + q109..q126 first, so the
-    driver's 50-entry correctness window retires the last r12 rows
-    and the oldest r13 block, then the rest of the catalog in
-    numeric order.
+    q155/q156 + q132..q135 + q16..q31 + q36..q47 + q109..q124 first,
+    so the driver's 50-entry correctness window covers both round-16
+    additions, retires the last r12 rows, and refreshes the oldest
+    r13 block, then the rest of the catalog in numeric order.
     """
     specs = all_specs()
     return {

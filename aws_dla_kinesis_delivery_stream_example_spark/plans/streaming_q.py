@@ -29,6 +29,7 @@ from .curation13 import PII_ORACLE as _PII_ORACLE
 from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE
 from .curation17 import BLOCKLIST_ORACLE as _BLOCKLIST_ORACLE
 from .curation18 import MOJIBAKE_ORACLE as _MOJIBAKE_ORACLE
+from .curation19 import LINEDEDUP_COUNTER_ORACLE as _LINEDEDUP_COUNTER_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -953,3 +954,49 @@ def q154_streaming_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return mojibake_finalize(state)
+
+
+@query(
+    "q156_streaming_line_dedup",
+    # the q155 oracle template MINUS its rewrite_xor column: the
+    # stream's per-(line, doc) counter state fully determines the
+    # removal audit but deliberately holds no line text, so the
+    # reassembly-hash face is batch-only (the honest twin boundary —
+    # everything the state CAN determine is finalized identically)
+    oracle=_LINEDEDUP_COUNTER_ORACLE,
+    description="STREAMING line-dedup audit: q155's per-(line-hash, "
+    "doc) occurrence/first-index/token counters maintained as "
+    "complete-mode streaming aggregation state while documents "
+    "arrive, finalized to q155's per-source removal report (minus "
+    "the batch-only rewrite_xor reassembly column) from the drained "
+    "state alone — the live boilerplate monitor: a navigation line "
+    "suddenly flooding a source's ingest pages before the nightly "
+    "batch rewrite",
+    tags=("streaming", "llm", "curation", "dedup"),
+)
+def q156_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the line plant, split, hash, and token count run
+    scan-side INSIDE the stream (whole-stage codegen, zero Python
+    crossings); each micro-batch collapses map-side to one partial
+    per (lhash, doc_id) before touching state.  HONEST state-size
+    note: unlike the constant-state family (q150/q154) and the
+    domain-bounded q152, this state is keyed by (line content,
+    document) — the q145/q91 per-KEY family whose cardinality grows
+    with the corpus's deduplicated line volume; production runs it
+    as the live monitor over a bounded ingest window and leaves the
+    full-corpus pass to the batch face (q155), exactly q91's
+    documented caveat.  All counters are count/min — mergeable across
+    shards; linear counts are NOT idempotent, so at-least-once
+    ingestion needs upstream dedup (q51/q83, q134's caveat).  The
+    global df/first agg, keep rule, and per-source rollup run once
+    on the drained counter table (line_finalize, renamed join keys —
+    the q152 drained-memory-table discipline)."""
+    from .curation19 import _line_augment, line_counters, line_finalize
+
+    def op(df):
+        return line_counters(_line_augment(df))
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return line_finalize(state)

@@ -929,6 +929,26 @@ def main() -> None:
         release_staging()
         spark.catalog.clearCache()
 
+        # q155 line-level dedup rewrite (round-16): NO pair space
+        # anywhere — candidates := total line occurrences entering the
+        # keep decision (= sum n_lines), linear in the corpus by
+        # construction; the hazard is boilerplate-line key skew, which
+        # the two-level (lhash, doc) agg spreads over doc_id before
+        # the per-lhash count. The 10x synth tier keeps per-replica
+        # plant structure (disjoint vocab, shifted doc_id strata), so
+        # the exponent must sit at ~1.0.
+        ld = specs["q155_line_dedup_rewrite"].spark(spark, sf_dir).persist()
+        _, row["linededup_sec"] = timed(ld.count)
+        lr = ld.agg(
+            F.sum("n_lines").alias("nl"),
+            F.sum("removed_lines").alias("rm"),
+        ).collect()[0]
+        row["linededup_candidates"] = int(lr["nl"] or 0)
+        row["linededup_removed_lines"] = int(lr["rm"] or 0)
+        ld.unpersist()
+        release_staging()
+        spark.catalog.clearCache()
+
         so = specs["q106_source_overlap"].spark(spark, sf_dir).persist()
         _, row["srcoverlap_sec"] = timed(so.count)
         row["srcoverlap_candidates"] = int(
@@ -1239,9 +1259,9 @@ def main() -> None:
         "jaccard", "minhash", "simhash", "contam", "boiler", "semdedup",
         "tfidf", "tfidf_abs", "spans", "survivors", "pipeline",
         "overlap", "chunking", "knngraph", "crossdedup",
-        "rewrite", "srcoverlap", "pagerank", "sampling", "novelty",
-        "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii", "dhash",
-        "dhash_wide",
+        "rewrite", "linededup", "srcoverlap", "pagerank", "sampling",
+        "novelty", "snapdiff", "fuzzy", "snm", "snmmulti", "dsir", "pii",
+        "dhash", "dhash_wide",
     ):
         c_lo, c_hi = max(lo[f"{op}_candidates"], 1), max(hi[f"{op}_candidates"], 1)
         summary[f"{op}_candidate_exponent"] = round(math.log10(c_hi / c_lo) / growth, 2)

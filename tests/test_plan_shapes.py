@@ -656,3 +656,30 @@ def test_round15b_exchange_budgets(spark):
     df = all_specs()["q153_mojibake_audit"].spark(spark, SF)
     n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
     assert n <= 2, f"q153_mojibake_audit: {n} exchanges (budget 2)"
+
+
+def test_round16_exchange_budgets(spark):
+    """Round-16 addition (q155; q156 is a streaming drain), tree-walk
+    budget with the staged subtree excluded: the staged occurrence
+    frame is scan-side NARROW (plant + split + posexplode + hash —
+    zero exchanges inside), and above it sit the two-level df/first
+    aggs (lhash,doc then lhash), the keep join-back, the per-doc
+    reassembly agg, the per-doc-totals join, the per-source rollup,
+    and the final sort.  Measured 7 at the pin SF (both corpus-sized
+    joins resolved broadcast by AQE — UNHINTED, so at real scale AQE
+    swaps them to shuffle joins); +1 allows ONE such strategy swap to
+    surface here without failing the pin, a second means a shuffle
+    crept into the scan-side or agg stages — the actual regression
+    this guards."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q155_line_dedup_rewrite"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        n = _exchanges_above_staging(plan)
+        assert "CartesianProduct" not in plan.toString()
+    finally:
+        release_staging()
+    assert n <= 8, f"q155_line_dedup_rewrite: {n} exchanges (budget 8)"

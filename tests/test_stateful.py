@@ -793,3 +793,70 @@ def test_streaming_mojibake_resume_from_checkpoint(spark, tmp_path):
     assert final == want and len(want) > 0
     assert sum(v[0] for v in final.values()) > sum(v[0] for v in partial.values())
     assert all(v[-1] == 0 for v in final.values())  # residual through resume
+
+
+def test_streaming_line_dedup_resume_from_checkpoint(spark, tmp_path):
+    """q156's per-(line-hash, doc) counter state joins the per-key
+    streaming family WITH crash-resume evidence in the same round (the
+    q144/q145/q150/q152/q154 convention): kill between micro-batches,
+    restart from the checkpoint, and the FINAL complete-mode counters
+    must equal the batch-built ones row-for-row — so the removal
+    report finalized from that state matches q155 (minus its
+    batch-only rewrite_xor) exactly.  n_occ is linear (q134's
+    at-least-once caveat applies) while first_idx/tok_line are mins;
+    a state reset shows up as second-half-only counts/firsts and
+    fails the compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation19 import (
+        _line_augment,
+        line_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            line_counters(_line_augment(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): (r[2], r[3], r[4], r[5])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("ld_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("ld_resume_2")
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in line_counters(_line_augment(docs)).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed state strictly extends the pre-crash keys (the
+    # second half brings new (line, doc) pairs), and the cross-doc
+    # shared lines (header/footer/related) span both halves — their
+    # global first can only be decided with BOTH halves in state
+    assert set(partial) < set(final)
+    n_docs = docs.count()
+    # per-key honesty: state cardinality tracks (line, doc) pairs —
+    # bounded here by the corpus's total line count, NOT |sources|
+    assert len(final) <= sum(
+        2 + (d % 3 == 0) + (d % 4 == 0) + 2 * (d % 10 == 0)
+        for d in range(n_docs)
+    )
