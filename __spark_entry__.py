@@ -8,12 +8,13 @@ oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 Naming: canonical catalog names (``q01..q154`` as of round-15;
 new queries append past that), in a round-16 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q155/q156 + q132..q135 + q16..q31
-+ q36..q47 + q109..q124`` first — the two round-16 additions (q155
-line-level dedup with document rewrite, q156 its streaming counter
-twin; the round-8 principle: never-verified beats
+entries, so this round exposes ``q155..q158 + q132..q135 +
+q16..q31 + q36..q47 + q109..q122`` first — the four round-16
+additions (q155 line-level dedup with document rewrite, q157
+CCNet-style perplexity buckets, and their streaming twins
+q156/q158; the round-8 principle: never-verified beats
 stale-but-verified) seated first per the standing precedent, then
-exactly the round-15 verdict's Next #1 minus its tail q125/q126
+exactly the round-15 verdict's Next #1 minus its tail q123..q126
 (displaced by the additions; they keep their r13 rows and roll to
 round 17): q132..q135 are the last r12 rows and the rest is the
 oldest r13 block, leaving nothing older than r13 after this
@@ -36,19 +37,20 @@ from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
 # of catalog numbers (round 16; round-15 verdict "Next round #1"):
-# q155/q156 (this round's additions — line-level dedup with document
-# rewrite and its streaming counter twin; never driver-verified, so
-# they seat FIRST per the standing precedent) + q132..q135 (the only
-# r12 rows left, displaced from the round-15 window) + the oldest r13
-# block q16..q31 + q36..q47 + q109..q124 (the prescribed set minus
-# its tail q125/q126, displaced by the two additions; they keep their
-# r13 rows and roll to round 17).  Exactly 50 entries.
+# q155..q158 (this round's additions — line-level dedup with document
+# rewrite, CCNet-style perplexity buckets, and their streaming twins;
+# never driver-verified, so they seat FIRST per the standing
+# precedent) + q132..q135 (the only r12 rows left, displaced from the
+# round-15 window) + the oldest r13 block q16..q31 + q36..q47 +
+# q109..q122 (the prescribed set minus its tail q123..q126, displaced
+# by the four additions; they keep their r13 rows and roll to round
+# 17).  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(155, 157))
+    list(range(155, 159))
     + list(range(132, 136))
     + list(range(16, 32))
     + list(range(36, 48))
-    + list(range(109, 125))
+    + list(range(109, 123))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
@@ -78,10 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order is the round-16 window order (module docstring):
-    q155/q156 + q132..q135 + q16..q31 + q36..q47 + q109..q124 first,
-    so the driver's 50-entry correctness window covers both round-16
-    additions, retires the last r12 rows, and refreshes the oldest
-    r13 block, then the rest of the catalog in numeric order.
+    q155..q158 + q132..q135 + q16..q31 + q36..q47 + q109..q122 first,
+    so the driver's 50-entry correctness window covers all four
+    round-16 additions, retires the last r12 rows, and refreshes the
+    oldest r13 block, then the rest of the catalog in numeric order.
     """
     specs = all_specs()
     return {

@@ -30,6 +30,7 @@ from .curation16 import ATTRITION_ORACLE as _ATTRITION_ORACLE
 from .curation17 import BLOCKLIST_ORACLE as _BLOCKLIST_ORACLE
 from .curation18 import MOJIBAKE_ORACLE as _MOJIBAKE_ORACLE
 from .curation19 import LINEDEDUP_COUNTER_ORACLE as _LINEDEDUP_COUNTER_ORACLE
+from .curation20 import PPL_ORACLE as _PPL_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -1000,3 +1001,61 @@ def q156_streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return line_finalize(state)
+
+
+
+@query(
+    "q158_streaming_perplexity",
+    # identical oracle to q157: the drained per-doc counter state plus
+    # the static model constants determine EVERY output column, so the
+    # twins are identical-output twins (the q151/q152 discipline,
+    # stronger than q156's minus-one-column boundary)
+    oracle=_PPL_ORACLE,
+    description="STREAMING perplexity-bucket audit: q157's per-doc "
+    "surprisal accumulators maintained as complete-mode streaming "
+    "aggregation state while documents arrive, each micro-batch "
+    "scored against the STATIC pre-trained surprisal model via a "
+    "stream-static LEFT join (the model is the dim the blocklist was "
+    "in q152 — fixed at training time, exactly CCNet's deployment "
+    "shape); the drained state plus the model constants finalize the "
+    "identical report — the live quality monitor: a source's ingest "
+    "drifting into the tail bucket pages before the nightly batch "
+    "audit",
+    tags=("streaming", "llm", "curation", "quality"),
+)
+def q158_streaming_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the plant, tokenize, and surprisal lookup run
+    INSIDE the stream — tokenize is scan-side narrow, the vocab
+    lookup is a stream-static LEFT join against the Zipf-bounded
+    model frame (broadcast-sized at any corpus scale), and the single
+    groupBy(doc_id) agg collapses each micro-batch map-side before
+    touching state.  HONEST state note: state is per-DOCUMENT (2
+    BIGINTs + source) — the q145/q91/q156 per-key family, growing
+    with ingested documents; production scopes the live monitor to a
+    bounded ingest window and leaves full-corpus scoring to the batch
+    face (q157).  Counters are count/sum/min — mergeable across
+    shards; linear counts are NOT idempotent, so at-least-once
+    ingestion needs upstream dedup (q51/q83, q134's caveat).  The
+    bucket labels and rollup run once on the drained counter table
+    (ppl_finalize, shared verbatim with q157)."""
+    from ..sources.tables import load_table
+    from .curation20 import (
+        PPL_REF_SOURCE,
+        _ppl_augment,
+        ppl_counters,
+        ppl_finalize,
+        surprisal_model,
+    )
+
+    ref = _ppl_augment(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source") == PPL_REF_SOURCE
+    )
+    vocab, n_ref, g = surprisal_model(ref)
+
+    def op(df):
+        return ppl_counters(_ppl_augment(df), vocab, n_ref)
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return ppl_finalize(state, g)

@@ -43,14 +43,14 @@ def test_entry_contract(spark):
     assert len(qs) >= 25
     # Round-16 window shift (README §Rotation; round-15 verdict Next
     # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q155/q156 +
-    # q132..q135 + q16..q31 + q36..q47 + q109..q124 FIRST — the two
+    # insertion order puts the EXPLICIT window list q155..q158 +
+    # q132..q135 + q16..q31 + q36..q47 + q109..q122 FIRST — the four
     # round-16 additions earn their first driver rows, the last r12
     # rows retire, and the oldest r13 block refreshes minus its tail
-    # q125/q126 (displaced by the additions; they keep their r13
+    # q123..q126 (displaced by the additions; they keep their r13
     # rows and roll to round 17). The tail is in
     # NUMERIC query order (lexicographic would slot q100 between q10
-    # and q11). No aNN aliases. Additions past q156 would sort after
+    # and q11). No aNN aliases. Additions past q158 would sort after
     # the window. The sort key is the entry module's own (one source
     # of truth); the window invariant is asserted independently below.
     import re as _re
@@ -65,11 +65,11 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(155, 157))
+        list(range(155, 159))
         + list(range(132, 136))
         + list(range(16, 32))
         + list(range(36, 48))
-        + list(range(109, 125))
+        + list(range(109, 123))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
@@ -77,8 +77,8 @@ def test_entry_contract(spark):
     # addition cannot silently evict its tail without this test
     # being updated in the same commit).
     assert nums[:50] == expected_window, (
-        "driver window is not q155/q156 + q132..q135 + q16..q31 + "
-        "q36..q47 + q109..q124"
+        "driver window is not q155..q158 + q132..q135 + q16..q31 + "
+        "q36..q47 + q109..q122"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

@@ -683,3 +683,29 @@ def test_round16_exchange_budgets(spark):
     finally:
         release_staging()
     assert n <= 8, f"q155_line_dedup_rewrite: {n} exchanges (budget 8)"
+
+
+def test_round16b_exchange_budgets(spark):
+    """Round-16 second batch (q157; q158 is a streaming drain),
+    tree-walk budget with staged subtrees excluded: the staged vocab
+    frame holds the reference scan + its ONE token agg exchange; the
+    staged counter frame holds the corpus tokenize + the UNHINTED
+    vocab join + the per-doc agg exchange; above them sit the bucket
+    rollup, the per-source totals agg, their small join, and the
+    final sort.  Measured 4 at the pin SF (AQE broadcasts the
+    Zipf-bounded vocab and the |sources|-row totals); +2 allows AQE
+    strategy swaps on those two joins at other size estimates — a
+    third extra exchange means a shuffle crept into the scan-side
+    stages."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q157_perplexity_buckets"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        n = _exchanges_above_staging(plan)
+        assert "CartesianProduct" not in plan.toString()
+    finally:
+        release_staging()
+    assert n <= 6, f"q157_perplexity_buckets: {n} exchanges (budget 6)"

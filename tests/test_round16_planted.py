@@ -317,3 +317,159 @@ def test_line_counters_finalize_df_max_parameter(spark):
         tuple(r) for r in line_finalize(line_counters(df), df_max=3).collect()
     ]
     assert got == [r[:-1] for r in _model_report(_FIXTURE, 3)]
+
+
+# ----------------------------------------- round-16 second batch: q157/q158
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation20 import (  # noqa: E402
+    _HEAD_COPIES,
+    PPL_REF_SOURCE,
+    perplexity_bucket_report,
+    surprisal_model,
+)
+
+
+def _model_ppl_report(docs: list[tuple[int, str, str]], ref_source: str):
+    """Pure-python model of the q157 semantics (NO plant — callers
+    pass already-augmented text): unigram model on ref_source, integer
+    surprisal via int.bit_length(), milli mean, cross-multiplied
+    buckets, per-(source, bucket) rollup in q157's column order."""
+    import re
+
+    tok = lambda t: re.findall(r"[a-z0-9]+", t.lower())  # noqa: E731
+    ref: dict[str, int] = {}
+    for _, src, text in docs:
+        if src == ref_source:
+            for w in tok(text):
+                ref[w] = ref.get(w, 0) + 1
+    n_ref = sum(ref.values())
+    bl_n = n_ref.bit_length()
+    g = 1000 * sum(c * (bl_n - c.bit_length()) for c in ref.values()) // n_ref
+    per = {}
+    for did, src, text in docs:
+        ts = tok(text)
+        if not ts:
+            continue
+        sm = sum(
+            (bl_n - ref[w].bit_length()) if w in ref else bl_n + 1 for w in ts
+        )
+        m = 1000 * sm // len(ts)
+        b = "head" if 20 * m <= 19 * g else ("tail" if 10 * m >= 11 * g else "middle")
+        per[did] = (src, len(ts), b)
+    rows = []
+    srcs = sorted({v[0] for v in per.values()})
+    for s in srcs:
+        ds = [v for v in per.values() if v[0] == s]
+        for b in ("head", "middle", "tail"):
+            bs = [v for v in ds if v[2] == b]
+            if bs:
+                rows.append(
+                    (s, b, len(bs), sum(v[1] for v in bs),
+                     1000 * len(bs) // len(ds))
+                )
+    return rows
+
+
+def test_ppl_model_hand_computed(spark):
+    """Library mode on a hand-built model: ref vocab {aa:4, bb:4,
+    cc:8} -> N=16 (bitlen 5), s(aa)=s(bb)=2, s(cc)=1, g=1500; head
+    threshold 20m <= 28500 checked INCLUSIVE at the exact boundary
+    m=1425 (17 aa + 23 cc), tail at an OOV-heavy doc, middle between."""
+    ref_text = " ".join(["aa"] * 4 + ["bb"] * 4 + ["cc"] * 8)
+    rows = [
+        (1, "r", ref_text),
+        (2, "d", " ".join(["cc"] * 8)),               # m=1000 head
+        (3, "d", " ".join(["aa"] * 17 + ["cc"] * 23)),  # m=1425 boundary head
+        (4, "d", "aa cc"),                              # m=1500 middle
+        (5, "d", "xx xx"),                              # OOV s=6, m=6000 tail
+    ]
+    df = spark.createDataFrame(rows, _DOC_SCHEMA)
+    vocab, n_ref, g = surprisal_model(df.filter("source = 'r'"))
+    assert n_ref == 16 and g == 1500
+    assert {r.tok: r.cnt for r in vocab.collect()} == {"aa": 4, "bb": 4, "cc": 8}
+    got = [
+        tuple(r)
+        for r in perplexity_bucket_report(df, df.filter("source = 'r'")).collect()
+    ]
+    want = _model_ppl_report(rows, "r")
+    assert got == want
+    asd = {(r[0], r[1]): r[2] for r in got}
+    assert asd[("d", "head")] == 2      # m=1000 and the m=1425 boundary
+    assert asd[("d", "middle")] == 1
+    assert asd[("d", "tail")] == 1
+    assert ("r", "middle") in asd       # the reference's own docs score
+
+
+def test_ppl_empty_reference_raises(spark):
+    """An empty reference frame is a loud error, not a silent
+    divide-by-zero or an all-OOV model."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "d", "aa bb")], _DOC_SCHEMA)
+    with _pytest.raises(ValueError, match="empty reference"):
+        surprisal_model(df.filter("source = 'nope'"))
+
+
+def test_q157_oracle_agrees_on_fixture(spark, tmp_path):
+    """The catalog face (plants included) tuple-equals the DuckDB
+    oracle on a written fixture dir — sources include the literal
+    reference stratum 'src0', and doc_ids hit the head (%11), tail
+    (%9), overlap (%99) and no-plant strata."""
+    rows = []
+    for i in (0, 1, 9, 11, 18, 22, 33, 45, 99, 100, 101, 198):
+        rows.append(
+            (i, f"tok{i % 4} common words here {i}", "en",
+             "src0" if i % 3 == 0 else f"s{i % 2}", None)
+        )
+    d = _write_documents(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in SPECS["q157_perplexity_buckets"].spark(spark, d).collect()
+    ]
+    assert got == _duck_on_documents(d, SPECS["q157_perplexity_buckets"].oracle)
+    assert len(got) > 0
+
+
+def test_q157_matches_python_model_on_smoke_corpus(spark):
+    """The full semantics (plant + model + buckets + rollup)
+    recomputed in pure python over the ENTIRE smoke corpus and
+    compared row-for-row (the q153/q155 python-model convention),
+    plus every-bucket non-vacuity corpus-wide."""
+    docs = [
+        (r.doc_id, r.source, r.text)
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    planted = []
+    for did, src, text in docs:
+        t = text
+        if did % 11 == 0:
+            t += " " + "hd " * _HEAD_COPIES
+        if did % 9 == 0:
+            t += "".join(f" zq{did}{c}" for c in "abcdefgh")
+        planted.append((did, src, t))
+    want = _model_ppl_report(planted, PPL_REF_SOURCE)
+    got = [
+        tuple(r)
+        for r in SPECS["q157_perplexity_buckets"].spark(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    buckets = {r[1] for r in got}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_q158_stream_equals_batch(spark):
+    """The twin discipline at its strongest (the q151/q152 class):
+    q158's drained per-doc counter state plus the static model
+    constants finalize to q157's report row-for-row — every column,
+    identical oracle."""
+    batch = [
+        tuple(r)
+        for r in SPECS["q157_perplexity_buckets"].spark(spark, SF_SMOKE).collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in SPECS["q158_streaming_perplexity"].spark(spark, SF_SMOKE).collect()
+    ]
+    assert stream == batch and len(batch) > 0

@@ -860,3 +860,65 @@ def test_streaming_line_dedup_resume_from_checkpoint(spark, tmp_path):
         2 + (d % 3 == 0) + (d % 4 == 0) + 2 * (d % 10 == 0)
         for d in range(n_docs)
     )
+
+
+def test_streaming_perplexity_resume_from_checkpoint(spark, tmp_path):
+    """q158's per-doc surprisal counter state joins the per-key
+    streaming family WITH crash-resume evidence in the same round:
+    kill between micro-batches, restart from the checkpoint, and the
+    FINAL complete-mode counters must equal the batch-built ones
+    row-for-row — so the bucket report finalized from that state (plus
+    the STATIC model constants, unchanged across the crash) matches
+    q157 exactly.  A state reset shows up as missing first-half docs
+    and fails the compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation20 import (
+        PPL_REF_SOURCE,
+        _ppl_augment,
+        ppl_counters,
+        surprisal_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ref = _ppl_augment(docs).filter(f"source = '{PPL_REF_SOURCE}'")
+    vocab, n_ref, _g = surprisal_model(ref)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            ppl_counters(_ppl_augment(stream), vocab, n_ref)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: (r[1], r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("ppl_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("ppl_resume_2")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in ppl_counters(_ppl_augment(docs), vocab, n_ref).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed state strictly extends the pre-crash keys (per-doc
+    # state: first half = even doc_ids only), and cardinality is
+    # exactly the doc count — the per-key honesty statement
+    assert set(partial) < set(final)
+    assert len(final) == docs.count()
