@@ -119,18 +119,17 @@ def surprisal_model(ref_docs: DataFrame) -> tuple[DataFrame, int, int]:
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
     )
+    # ONE agg job for both scalars (round-16 review): the g numerator
+    # sum(cnt * (bitlen(N) - bitlen(cnt))) = bitlen(N) * sum(cnt)
+    # - sum(cnt * bitlen(cnt)), and both sums are independent of N.
     row = vocab.agg(
         F.sum("cnt").cast("long").alias("n_ref"),
+        F.sum(F.col("cnt") * _bitlen("cnt")).cast("long").alias("wbits"),
     ).collect()[0]
     n_ref = int(row["n_ref"] or 0)
     if n_ref <= 0:
         raise ValueError("surprisal_model: empty reference corpus")
-    grow = vocab.agg(
-        F.sum(F.col("cnt") * (F.lit(len(bin(n_ref)) - 2) - _bitlen("cnt")))
-        .cast("long")
-        .alias("num")
-    ).collect()[0]
-    g = 1000 * int(grow["num"]) // n_ref
+    g = 1000 * (n_ref.bit_length() * n_ref - int(row["wbits"])) // n_ref
     return vocab, n_ref, g
 
 

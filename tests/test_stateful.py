@@ -919,6 +919,13 @@ def test_streaming_perplexity_resume_from_checkpoint(spark, tmp_path):
     assert final == want and len(want) > 0
     # the resumed state strictly extends the pre-crash keys (per-doc
     # state: first half = even doc_ids only), and cardinality is
-    # exactly the doc count — the per-key honesty statement
+    # exactly the count of docs with >= 1 token (ppl_counters drops
+    # token-less docs by design — don't couple the resume check to
+    # the fixture having none) — the per-key honesty statement
     assert set(partial) < set(final)
-    assert len(final) == docs.count()
+    from pyspark.sql import functions as FF
+
+    from aws_dla_kinesis_delivery_stream_example_spark.functions import text as TXF
+
+    tokful = _ppl_augment(docs).filter(FF.size(TXF.words("text")) > 0).count()
+    assert len(final) == tokful
