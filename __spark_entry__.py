@@ -5,20 +5,19 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q154`` as of round-15;
-new queries append past that), in a round-16 WINDOW order: the
+Naming: canonical catalog names (``q01..q158`` as of round-16;
+new queries append past that), in a round-17 WINDOW order: the
 driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q155..q158 + q132..q135 +
-q16..q31 + q36..q47 + q109..q122`` first — the four round-16
-additions (q155 line-level dedup with document rewrite, q157
-CCNet-style perplexity buckets, and their streaming twins
-q156/q158; the round-8 principle: never-verified beats
-stale-but-verified) seated first per the standing precedent, then
-exactly the round-15 verdict's Next #1 minus its tail q123..q126
-(displaced by the additions; they keep their r13 rows and roll to
-round 17): q132..q135 are the last r12 rows and the rest is the
-oldest r13 block, leaving nothing older than r13 after this
-round.  Names are NOT aliased — same canonical ``qNN``, same
+entries, so this round exposes ``q123..q126 + q136..q139 +
+q32..q35 + q48..q58 + q77..q95 + q127..q131 + q140..q142`` first —
+exactly the round-16 verdict's Next #1: the eight remaining r13
+rows (q123..q126, displaced from the round-16 window, plus
+q136..q139) retire and the oldest r14 block refreshes, leaving
+nothing older than r14 after this round.  Mid-round additions
+seat FIRST when they land (the round-8 principle: never-verified
+beats stale-but-verified) and the displaced tail rolls forward
+per the standing precedent.  Names are NOT aliased — same
+canonical ``qNN``, same
 QuerySpec, same oracle; only dict insertion order moves.
 Everything outside the window carries fresh r14/r15 rows, so
 nothing loses hard coverage.  The per-round ledger lives in
@@ -36,28 +35,27 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 16; round-15 verdict "Next round #1"):
-# q155..q158 (this round's additions — line-level dedup with document
-# rewrite, CCNet-style perplexity buckets, and their streaming twins;
-# never driver-verified, so they seat FIRST per the standing
-# precedent) + q132..q135 (the only r12 rows left, displaced from the
-# round-15 window) + the oldest r13 block q16..q31 + q36..q47 +
-# q109..q122 (the prescribed set minus its tail q123..q126, displaced
-# by the four additions; they keep their r13 rows and roll to round
-# 17).  Exactly 50 entries.
+# of catalog numbers (round 17; round-16 verdict "Next round #1"):
+# q123..q126 (displaced from the round-16 window, the oldest r13
+# rows) + q136..q139 (the other four r13 rows) + the oldest r14
+# block q32..q35 + q48..q58 + q77..q95 + q127..q131 + q140..q142.
+# Mid-round additions seat FIRST when they land and the displaced
+# tail rolls to round 18.  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(155, 159))
-    + list(range(132, 136))
-    + list(range(16, 32))
-    + list(range(36, 48))
-    + list(range(109, 123))
+    list(range(123, 127))
+    + list(range(136, 140))
+    + list(range(32, 36))
+    + list(range(48, 59))
+    + list(range(77, 96))
+    + list(range(127, 132))
+    + list(range(140, 143))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
 
 
 def _catalog_order(name: str) -> tuple[int, int, str]:
-    """Round-16 window order: the explicit ``_WINDOW`` list first (in
+    """Round-17 window order: the explicit ``_WINDOW`` list first (in
     list position, NOT numeric order), then everything else in
     NUMERIC query order (q2 < q10 < q100, not lexicographic; a plain
     sorted() would slot q100 between q10 and q11).  Mid-round catalog
@@ -79,11 +77,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Insertion order is the round-16 window order (module docstring):
-    q155..q158 + q132..q135 + q16..q31 + q36..q47 + q109..q122 first,
-    so the driver's 50-entry correctness window covers all four
-    round-16 additions, retires the last r12 rows, and refreshes the
-    oldest r13 block, then the rest of the catalog in numeric order.
+    Insertion order is the round-17 window order (module docstring):
+    q123..q126 + q136..q139 + q32..q35 + q48..q58 + q77..q95 +
+    q127..q131 + q140..q142 first, so the driver's 50-entry
+    correctness window retires all eight remaining r13 rows and
+    refreshes the oldest r14 block, then the rest of the catalog in
+    numeric order.
     """
     specs = all_specs()
     return {

@@ -240,6 +240,17 @@ def line_dedup_rewrite(
     text: at 100 TB the rewritten corpus lands in a sink and the
     audit row stays narrow (the q103 convention).
 
+    HASH-WIDTH caveat (round-16 advisor): line identity is the 60-bit
+    md5-prefix hash (the q37 convention).  In the AUDIT faces a
+    collision only perturbs a count, but here a collision DELETES a
+    non-duplicate line from every document — destructive — and
+    birthday collisions become likely around ~1.3e9 distinct lines,
+    below a real 100 TB deduplicated-line volume.  At that scale
+    widen the key (the full 128-bit md5 as a 2-BIGINT struct — same
+    plan shape, one more column through the min-agg) or verify
+    candidate drops by text compare before deleting; bench-scale
+    parity (<=1e6 distinct lines per SF here) is unaffected.
+
     Scale shape: (1) line splitting/hashing is scan-side narrow
     (line_occurrences); (2) global df + first occurrence is the
     skew-immune TWO-LEVEL min-agg — level 1 groups by (lhash, doc_id)

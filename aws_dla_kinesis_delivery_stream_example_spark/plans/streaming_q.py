@@ -963,7 +963,14 @@ def q154_streaming_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream's per-(line, doc) counter state fully determines the
     # removal audit but deliberately holds no line text, so the
     # reassembly-hash face is batch-only (the honest twin boundary —
-    # everything the state CAN determine is finalized identically)
+    # everything the state CAN determine is finalized identically).
+    # PARITY PIN (round-16 advisor): this oracle counts every document
+    # in n_docs, but line_finalize sees only docs with >=1 counter row
+    # — q156's parity therefore DEPENDS on _line_augment emitting at
+    # least one non-empty line per document (the unconditional
+    # 'related article' line). tests/test_round16_planted.py::
+    # test_line_plant_guarantees_nonempty_line pins the plant-side
+    # guarantee so a future plant edit cannot silently desync the twin.
     oracle=_LINEDEDUP_COUNTER_ORACLE,
     description="STREAMING line-dedup audit: q155's per-(line-hash, "
     "doc) occurrence/first-index/token counters maintained as "
@@ -1037,7 +1044,14 @@ def q158_streaming_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards; linear counts are NOT idempotent, so at-least-once
     ingestion needs upstream dedup (q51/q83, q134's caveat).  The
     bucket labels and rollup run once on the drained counter table
-    (ppl_finalize, shared verbatim with q157)."""
+    (ppl_finalize, shared verbatim with q157).  MODEL-PROVENANCE note
+    (round-16 advisor): the catalog face trains (vocab, n_ref, g) via
+    a batch pass over the SAME closed documents table it then streams
+    — required ONLY because the oracle gate needs a deterministic
+    model over a closed input.  Production passes an INDEPENDENTLY
+    trained model (CCNet trains on Wikipedia, not the live crawl);
+    a library caller should hand surprisal_model() a separate
+    reference frame, never the stream's own source."""
     from ..sources.tables import load_table
     from .curation20 import (
         PPL_REF_SOURCE,

@@ -41,18 +41,18 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
-    # Round-16 window shift (README §Rotation; round-15 verdict Next
+    # Round-17 window shift (README §Rotation; round-16 verdict Next
     # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q155..q158 +
-    # q132..q135 + q16..q31 + q36..q47 + q109..q122 FIRST — the four
-    # round-16 additions earn their first driver rows, the last r12
-    # rows retire, and the oldest r13 block refreshes minus its tail
-    # q123..q126 (displaced by the additions; they keep their r13
-    # rows and roll to round 17). The tail is in
+    # insertion order puts the EXPLICIT window list q123..q126 +
+    # q136..q139 + q32..q35 + q48..q58 + q77..q95 + q127..q131 +
+    # q140..q142 FIRST — all eight remaining r13 rows retire and the
+    # oldest r14 block refreshes; mid-round additions seat FIRST when
+    # they land and the displaced tail rolls forward. The tail is in
     # NUMERIC query order (lexicographic would slot q100 between q10
     # and q11). No aNN aliases. Additions past q158 would sort after
-    # the window. The sort key is the entry module's own (one source
-    # of truth); the window invariant is asserted independently below.
+    # the window until seated. The sort key is the entry module's own
+    # (one source of truth); the window invariant is asserted
+    # independently below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
@@ -65,20 +65,22 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(155, 159))
-        + list(range(132, 136))
-        + list(range(16, 32))
-        + list(range(36, 48))
-        + list(range(109, 123))
+        list(range(123, 127))
+        + list(range(136, 140))
+        + list(range(32, 36))
+        + list(range(48, 59))
+        + list(range(77, 96))
+        + list(range(127, 132))
+        + list(range(140, 143))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
-    # round-16 window (an EXPLICIT bounded list, so a late catalog
+    # round-17 window (an EXPLICIT bounded list, so a late catalog
     # addition cannot silently evict its tail without this test
     # being updated in the same commit).
     assert nums[:50] == expected_window, (
-        "driver window is not q155..q158 + q132..q135 + q16..q31 + "
-        "q36..q47 + q109..q122"
+        "driver window is not q123..q126 + q136..q139 + q32..q35 + "
+        "q48..q58 + q77..q95 + q127..q131 + q140..q142"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

@@ -284,6 +284,24 @@ def test_q156_stream_equals_batch_minus_xor(spark):
     assert counter_face == batch
 
 
+def test_line_plant_guarantees_nonempty_line(spark):
+    """Round-16 advisor pin: q156's oracle counts EVERY document in
+    n_docs, but the counter face only sees docs with >=1 non-empty
+    line — so the twins' parity depends on _line_augment emitting at
+    least one non-empty line per document (the unconditional 'related
+    article' line).  Pin that guarantee against adversarial inputs
+    (empty text, whitespace-only, newline-only) across doc_ids that
+    hit every plant branch (% 3 / % 4 / % 10), so a future plant edit
+    that makes the related-article line conditional fails HERE, not
+    as a silent q156 driver-hash mismatch."""
+    rows = [(i, f"s{i % 2}", t) for i, t in enumerate(["", " ", "\n\n", "x"] * 4)]
+    df = spark.createDataFrame(rows, _DOC_SCHEMA)
+    n_docs_with_line = (
+        line_counters(_line_augment(df)).select("doc_id").distinct().count()
+    )
+    assert n_docs_with_line == len(rows)
+
+
 def test_line_dedup_library_zero_line_source(spark):
     """Library edge (round-16 review): a source whose only document
     has no non-empty lines must yield NULL milli rates (the nullif /
