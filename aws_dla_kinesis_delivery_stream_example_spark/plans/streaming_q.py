@@ -31,6 +31,7 @@ from .curation17 import BLOCKLIST_ORACLE as _BLOCKLIST_ORACLE
 from .curation18 import MOJIBAKE_ORACLE as _MOJIBAKE_ORACLE
 from .curation19 import LINEDEDUP_COUNTER_ORACLE as _LINEDEDUP_COUNTER_ORACLE
 from .curation20 import PPL_ORACLE as _PPL_ORACLE
+from .curation21 import BIGRAM_ORACLE as _BIGRAM_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -1073,3 +1074,60 @@ def q158_streaming_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return ppl_finalize(state, g)
+
+
+@query(
+    "q160_streaming_bigram_ppl",
+    # identical oracle to q159: the drained per-doc counter state plus
+    # the static model constants determine EVERY output column —
+    # identical-output twins, the q157/q158 discipline
+    oracle=_BIGRAM_ORACLE,
+    description="STREAMING bigram-surprisal audit: q159's per-doc "
+    "accumulators maintained as complete-mode streaming aggregation "
+    "state while documents arrive, each micro-batch scored against "
+    "the STATIC pre-trained bigram-backoff model via THREE "
+    "stream-static LEFT joins (pair table, context counts, backoff "
+    "unigrams — q158's one static dim grown to the full KenLM-shaped "
+    "model, all fixed at training time); the drained state plus the "
+    "model constants finalize the identical report — the live "
+    "quality monitor with one order of context: a source whose "
+    "ingest drifts into unseen-bigram territory pages before the "
+    "nightly batch audit",
+    tags=("streaming", "llm", "curation", "quality"),
+)
+def q160_streaming_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the plant, pair construction, and all three model
+    lookups run INSIDE the stream — pair construction is scan-side
+    narrow, the lookups are stream-static LEFT joins against
+    Zipf-bounded model frames (broadcast-sized at any corpus scale,
+    hard-capped by min_pair_count in library mode), and the single
+    groupBy(doc_id) agg collapses each micro-batch map-side before
+    touching state.  HONEST state note: per-DOCUMENT accumulators (2
+    BIGINTs + source) — the q145/q91/q158 per-key family, growing
+    with ingested documents; production scopes the live monitor to a
+    bounded ingest window and leaves full-corpus scoring to the batch
+    face (q159).  Counters are count/sum/min — mergeable across
+    shards; linear counts are NOT idempotent, so at-least-once
+    ingestion needs upstream dedup (q51/q83, q134's caveat).  The
+    bucket labels and rollup run once on the drained counter table
+    (ppl_finalize, shared verbatim with q157/q158/q159).
+    MODEL-PROVENANCE note (q158's, inherited): the catalog face
+    trains on the same closed table it streams ONLY because the
+    oracle gate needs a deterministic model — production hands
+    bigram_model an independently trained reference."""
+    from ..sources.tables import load_table
+    from .curation20 import PPL_REF_SOURCE, _ppl_augment, ppl_finalize
+    from .curation21 import bigram_counters, bigram_model
+
+    ref = _ppl_augment(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source") == PPL_REF_SOURCE
+    )
+    pairs, ctx, vocab, n_ref, g2 = bigram_model(ref)
+
+    def op(df):
+        return bigram_counters(_ppl_augment(df), pairs, ctx, vocab, n_ref)
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return ppl_finalize(state, g2)

@@ -709,3 +709,31 @@ def test_round16b_exchange_budgets(spark):
     finally:
         release_staging()
     assert n <= 6, f"q157_perplexity_buckets: {n} exchanges (budget 6)"
+
+
+def test_round17_exchange_budgets(spark):
+    """Round-17 addition (q159; q160 is a streaming drain), tree-walk
+    budget with staged subtrees excluded: the staged pair frame holds
+    the reference pairing scan + its ONE (prev, tok) agg exchange, and
+    the staged ctx / vocab frames each hold one re-agg of that
+    Zipf-bounded frame; above them sit the corpus pairing scan, the
+    THREE UNHINTED model joins (pair table, context counts, backoff
+    unigrams), the per-doc agg exchange, the bucket rollup, the
+    per-source totals agg, their small join, and the final sort.
+    Measured 4 at the pin SF (AQE broadcasts all three Zipf-bounded
+    model frames and the |sources|-row totals); +3 allows ONE AQE
+    strategy swap per unhinted model join at other size estimates — a
+    fourth extra exchange means a shuffle crept into the scan-side
+    stages."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q159_bigram_ppl_buckets"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        n = _exchanges_above_staging(plan)
+        assert "CartesianProduct" not in plan.toString()
+    finally:
+        release_staging()
+    assert n <= 7, f"q159_bigram_ppl_buckets: {n} exchanges (budget 7)"

@@ -929,3 +929,77 @@ def test_streaming_perplexity_resume_from_checkpoint(spark, tmp_path):
 
     tokful = _ppl_augment(docs).filter(FF.size(TXF.words("text")) > 0).count()
     assert len(final) == tokful
+
+
+def test_streaming_bigram_ppl_resume_from_checkpoint(spark, tmp_path):
+    """q160's per-doc bigram-surprisal counter state joins the per-key
+    streaming family WITH crash-resume evidence in the same round
+    (q158's test shape under the bigram model): kill between
+    micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode counters must equal the batch-built ones
+    row-for-row — so the bucket report finalized from that state
+    (plus the STATIC model constants and the three static model
+    frames, all unchanged across the crash) matches q159 exactly.
+    A state reset shows up as missing first-half docs and fails the
+    compare."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation20 import (
+        PPL_REF_SOURCE,
+        _ppl_augment,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation21 import (
+        bigram_counters,
+        bigram_model,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ref = _ppl_augment(docs).filter(f"source = '{PPL_REF_SOURCE}'")
+    pairs, ctx, vocab, n_ref, _g2 = bigram_model(ref)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            bigram_counters(_ppl_augment(stream), pairs, ctx, vocab, n_ref)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: (r[1], r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("bigram_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("bigram_resume_2")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in bigram_counters(
+            _ppl_augment(docs), pairs, ctx, vocab, n_ref
+        ).collect()
+    }
+    assert final == want and len(want) > 0
+    # the resumed state strictly extends the pre-crash keys (per-doc
+    # state: first half = even doc_ids only), and cardinality is
+    # exactly the count of docs with >= 1 token (one pair per token
+    # position — bigram_pairs drops token-less docs by design)
+    assert set(partial) < set(final)
+    from pyspark.sql import functions as FF
+
+    from aws_dla_kinesis_delivery_stream_example_spark.functions import text as TXF
+
+    tokful = _ppl_augment(docs).filter(FF.size(TXF.words("text")) > 0).count()
+    assert len(final) == tokful
