@@ -36,22 +36,21 @@ from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
 # of catalog numbers (round 17; round-16 verdict "Next round #1"):
-# the round-17 additions q159..q160 seat FIRST (never-driver-verified
+# the round-17 additions q159..q162 seat FIRST (never-driver-verified
 # beats stale-but-verified — the standing precedent), then
 # q123..q126 (displaced from the round-16 window, the oldest r13
 # rows) + q136..q139 (the other four r13 rows) + the oldest r14
-# block q32..q35 + q48..q58 + q77..q95 + q127..q131 + q140.
-# The displaced tail (q141..q142) rolls to round 18.  Exactly 50
-# entries.
+# block q32..q35 + q48..q58 + q77..q95 + q127..q130.
+# The displaced tail (q131, q140..q142) rolls to round 18.  Exactly
+# 50 entries.
 _WINDOW: list[int] = (
-    list(range(159, 161))
+    list(range(159, 163))
     + list(range(123, 127))
     + list(range(136, 140))
     + list(range(32, 36))
     + list(range(48, 59))
     + list(range(77, 96))
-    + list(range(127, 132))
-    + [140]
+    + list(range(127, 131))
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}

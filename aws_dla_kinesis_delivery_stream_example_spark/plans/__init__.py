@@ -28,6 +28,7 @@ from . import curation18  # noqa: E402,F401
 from . import curation19  # noqa: E402,F401
 from . import curation20  # noqa: E402,F401
 from . import curation21  # noqa: E402,F401
+from . import curation22  # noqa: E402,F401
 from . import delivery  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401

@@ -39,7 +39,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_local_r{N}*.json `_meta.catalog_extent` to equal it, so
 # bumping the constant without regenerating the full-catalog artifacts
 # fails too. One commit = constant bump + query + evidence.
-CATALOG_EXTENT = 160
+CATALOG_EXTENT = 162
 
 
 def query(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):

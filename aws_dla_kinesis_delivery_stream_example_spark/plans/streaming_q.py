@@ -32,6 +32,7 @@ from .curation18 import MOJIBAKE_ORACLE as _MOJIBAKE_ORACLE
 from .curation19 import LINEDEDUP_COUNTER_ORACLE as _LINEDEDUP_COUNTER_ORACLE
 from .curation20 import PPL_ORACLE as _PPL_ORACLE
 from .curation21 import BIGRAM_ORACLE as _BIGRAM_ORACLE
+from .curation22 import LLR_ORACLE as _LLR_ORACLE
 
 # State-store backend for the catalog drains. At 100 TB of events the
 # state store IS the scaling wall for stateful streaming (watermarked
@@ -1131,3 +1132,59 @@ def q160_streaming_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, op, "complete", partitions="2"
     )
     return ppl_finalize(state, g2)
+
+
+
+@query(
+    "q162_streaming_llr_filter",
+    # identical oracle to q161: the drained per-doc counter state plus
+    # the trained threshold determine EVERY output column —
+    # identical-output twins, the q157/q158/q159/q160 discipline
+    oracle=_LLR_ORACLE,
+    description="STREAMING NB-LLR quality-filter audit: q161's "
+    "per-doc weight accumulators maintained as complete-mode "
+    "streaming aggregation state while documents arrive, each "
+    "micro-batch scored via ONE stream-static LEFT join against the "
+    "trained weight dim (the Zipf-bounded union-vocabulary table — "
+    "q158's static-dim pattern with the classifier in place of the "
+    "LM); the drained state plus the trained threshold finalize the "
+    "identical report — the live keep/drop monitor: a source whose "
+    "ingest drifts toward background-characteristic vocabulary pages "
+    "before the nightly batch audit",
+    tags=("streaming", "llm", "curation", "quality"),
+)
+def q162_streaming_llr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the plant, tokenize, and the weight lookup run
+    INSIDE the stream — the lookup is a stream-static LEFT join
+    against the Zipf-bounded trained weight dim (broadcast-sized at
+    any corpus scale), and the single groupBy(doc_id) agg collapses
+    each micro-batch map-side before touching state.  HONEST state
+    note: per-DOCUMENT accumulators (2 BIGINTs + source) — the
+    q145/q91/q158/q160 per-key family, growing with ingested
+    documents; production scopes the live monitor to a bounded
+    ingest window and leaves full-corpus labeling to the batch face
+    (q161).  Counters are count/sum/min — mergeable across shards;
+    linear counts are NOT idempotent, so at-least-once ingestion
+    needs upstream dedup (q51/q83, q134's caveat).  The keep/drop
+    labels and rollup run once on the drained counter table
+    (llr_finalize, shared verbatim with q161).  MODEL-PROVENANCE
+    note (q158/q160's, inherited): the catalog face trains on the
+    same closed table it streams ONLY because the oracle gate needs
+    a deterministic model — production hands llr_classifier
+    independently curated classes."""
+    from ..sources.tables import load_table
+    from .curation22 import _llr_augment, llr_classifier, llr_counters, llr_finalize
+    from .curation20 import PPL_REF_SOURCE
+
+    aug = _llr_augment(load_table(spark, sf_dir, "documents"))
+    pos = aug.filter(F.col("source") == PPL_REF_SOURCE)
+    neg = aug.filter(F.col("source") != PPL_REF_SOURCE)
+    weights, w_oov, theta2, _shift = llr_classifier(pos, neg)
+
+    def op(df):
+        return llr_counters(_llr_augment(df), weights, w_oov)
+
+    state = _stream_documents_closed(
+        spark, sf_dir, op, "complete", partitions="2"
+    )
+    return llr_finalize(state, theta2)

@@ -65,14 +65,13 @@ def test_entry_contract(spark):
     assert not bad, f"non-canonical exposed names: {bad}"
     nums = [int(matches[n].group(1)) for n in qs]
     expected_window = (
-        list(range(159, 161))
+        list(range(159, 163))
         + list(range(123, 127))
         + list(range(136, 140))
         + list(range(32, 36))
         + list(range(48, 59))
         + list(range(77, 96))
-        + list(range(127, 132))
-        + [140]
+        + list(range(127, 131))
     )
     assert mod._WINDOW == expected_window and len(mod._WINDOW) == 50
     # Driver records the FIRST 50 entries: they must be exactly the
@@ -80,8 +79,8 @@ def test_entry_contract(spark):
     # addition cannot silently evict its tail without this test
     # being updated in the same commit).
     assert nums[:50] == expected_window, (
-        "driver window is not q159..q160 + q123..q126 + q136..q139 + "
-        "q32..q35 + q48..q58 + q77..q95 + q127..q131 + q140"
+        "driver window is not q159..q162 + q123..q126 + q136..q139 + "
+        "q32..q35 + q48..q58 + q77..q95 + q127..q130"
     )
     rest = nums[50:]
     assert rest == sorted(rest), "tail block not numeric-ordered"

@@ -737,3 +737,29 @@ def test_round17_exchange_budgets(spark):
     finally:
         release_staging()
     assert n <= 7, f"q159_bigram_ppl_buckets: {n} exchanges (budget 7)"
+
+
+def test_round17b_exchange_budgets(spark):
+    """Round-17 second batch (q161; q162 is a streaming drain),
+    tree-walk budget with staged subtrees excluded: the staged class
+    vocabularies each hold one token-agg exchange and the staged
+    weight frame their FULL OUTER join; above them sit the corpus
+    tokenize, the UNHINTED weight-dim LEFT join, the per-doc agg
+    exchange, the label rollup, the per-source totals agg, their
+    small join, and the final sort.  Measured 4 at the pin SF (AQE
+    broadcasts the Zipf-bounded weight dim and the |sources|-row
+    totals); +2 allows AQE strategy swaps on those two joins at
+    other size estimates — a third extra exchange means a shuffle
+    crept into the scan-side stages."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    df = all_specs()["q161_llr_quality_filter"].spark(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        n = _exchanges_above_staging(plan)
+        assert "CartesianProduct" not in plan.toString()
+    finally:
+        release_staging()
+    assert n <= 6, f"q161_llr_quality_filter: {n} exchanges (budget 6)"

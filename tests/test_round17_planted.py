@@ -303,3 +303,202 @@ def test_q160_stream_equals_batch(spark):
         for r in SPECS["q160_streaming_bigram_ppl"].spark(spark, SF_SMOKE).collect()
     ]
     assert stream == batch and len(batch) > 0
+
+
+# ----------------------------------------- round-17 second batch: q161/q162
+
+from aws_dla_kinesis_delivery_stream_example_spark.plans.curation22 import (  # noqa: E402
+    _QK_COPIES,
+    _VX_COPIES,
+    llr_classifier,
+    llr_filter_report,
+)
+
+
+def _model_llr_report(
+    docs: list[tuple[int, str, str]],
+    pos_source: str,
+    neg_source: str | None = None,
+):
+    """Pure-python model of the q161 semantics (NO plant — callers
+    pass already-augmented text): two-class NB-LLR weights on the
+    bitlen lattice (shifted non-negative), midpoint threshold fixed
+    at training time, per-(source, label) rollup in q161's column
+    order.  ``neg_source=None`` is the catalog-face convention
+    (background = everything except the positive stratum); a library
+    fixture training on an EXPLICIT negative stratum while scoring
+    extra docs passes it."""
+    tok = lambda t: _TOK.findall(t.lower())  # noqa: E731
+    vp: dict[str, int] = {}
+    vn: dict[str, int] = {}
+    for _, src, text in docs:
+        if src == pos_source:
+            d = vp
+        elif neg_source is None or src == neg_source:
+            d = vn
+        else:
+            continue
+        for w in tok(text):
+            d[w] = d.get(w, 0) + 1
+    n_p, n_n = sum(vp.values()), sum(vn.values())
+    bl_p, bl_n = n_p.bit_length(), n_n.bit_length()
+    shift = bl_p + 1
+
+    def wgt(t: str) -> int:
+        s_p = (bl_p - vp[t].bit_length()) if t in vp else bl_p + 1
+        s_n = (bl_n - vn[t].bit_length()) if t in vn else bl_n + 1
+        return s_n - s_p + shift
+
+    gw_pos = 1000 * sum(c * wgt(t) for t, c in vp.items()) // n_p
+    gw_neg = 1000 * sum(c * wgt(t) for t, c in vn.items()) // n_n
+    theta2 = gw_pos + gw_neg
+    per = {}
+    for did, src, text in docs:
+        ts = tok(text)
+        if not ts:
+            continue
+        m = 1000 * sum(wgt(t) for t in ts) // len(ts)
+        per[did] = (src, len(ts), "keep" if 2 * m >= theta2 else "drop")
+    rows = []
+    for s in sorted({v[0] for v in per.values()}):
+        ds = [v for v in per.values() if v[0] == s]
+        for lb in ("drop", "keep"):
+            bs = [v for v in ds if v[2] == lb]
+            if bs:
+                rows.append(
+                    (s, lb, len(bs), sum(v[1] for v in bs),
+                     1000 * len(bs) // len(ds))
+                )
+    return rows
+
+
+def test_llr_classifier_hand_computed(spark):
+    """Exact weights and trained constants on a hand-built pair of
+    classes: pos 'aa aa bb' (N_p=3, bl_p=2), neg 'aa cc cc cc'
+    (N_n=4, bl_n=3), shift=3 -> w(aa)=5 (2-0+3), w(bb)=6 (4-1+3),
+    w(cc)=1 (1-3+3), w_oov=4 (=bl_n+1); gw_pos = 16000//3 = 5333,
+    gw_neg = 8000//4 = 2000, theta2 = 7333."""
+    df = spark.createDataFrame(
+        [(1, "p", "aa aa bb"), (2, "n", "aa cc cc cc")], _DOC_SCHEMA
+    )
+    weights, w_oov, theta2, shift = llr_classifier(
+        df.filter("source = 'p'"), df.filter("source = 'n'")
+    )
+    assert (w_oov, theta2, shift) == (4, 7333, 3)
+    assert {r.tok: r.w for r in weights.collect()} == {
+        "aa": 5, "bb": 6, "cc": 1,
+    }
+
+
+def test_llr_filter_every_weight_path(spark):
+    """Labels on docs exercising every scoring path, hand-computed
+    against theta2 = 7333: reference-like 'aa bb' m=5500 -> keep;
+    background-like 'cc cc' m=1000 -> drop; both-OOV 'zz' scores the
+    constant w_oov=4 -> m=4000 -> keep (8000 >= 7333) — the
+    documented rare-token pathology the midpoint threshold shrinks
+    but cannot eliminate on a miniature: asserted as the MATH gives
+    it, and the python model agrees row-for-row."""
+    rows = [
+        (1, "p", "aa aa bb"),
+        (2, "n", "aa cc cc cc"),
+        (3, "d", "aa bb"),
+        (4, "d", "cc cc"),
+        (5, "d", "zz"),
+    ]
+    df = spark.createDataFrame(rows, _DOC_SCHEMA)
+    got = [
+        tuple(r)
+        for r in llr_filter_report(
+            df, df.filter("source = 'p'"), df.filter("source = 'n'")
+        ).collect()
+    ]
+    assert got == _model_llr_report(rows, "p", neg_source="n")
+    asd = {(r[0], r[1]): r[2] for r in got}
+    assert asd[("d", "keep")] == 2      # docs 3 (LLR) and 5 (OOV edge)
+    assert asd[("d", "drop")] == 1      # doc 4
+    assert asd[("p", "keep")] == 1      # the positive class's own doc
+    assert asd[("n", "drop")] == 1      # the background's own doc
+
+
+def test_llr_guards_raise(spark):
+    """Empty positive or negative class is a loud error."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "d", "aa bb")], _DOC_SCHEMA)
+    with _pytest.raises(ValueError, match="empty positive"):
+        llr_classifier(df.filter("source = 'x'"), df)
+    with _pytest.raises(ValueError, match="empty negative"):
+        llr_classifier(df, df.filter("source = 'x'"))
+
+
+def test_q161_oracle_agrees_on_fixture(spark, tmp_path):
+    """The catalog face (plants included) tuple-equals the DuckDB
+    oracle on a written fixture dir — sources include the literal
+    positive stratum 'src0', and doc_ids hit the positive-plant
+    (src0 % 7), borrow (% 23), negative-plant (non-src0 % 13) and
+    no-plant strata."""
+    rows = []
+    for i in (0, 7, 13, 14, 21, 23, 26, 39, 46, 49, 69, 91, 92, 100):
+        rows.append(
+            (i, f"tok{i % 5} common words here {i}", "en",
+             "src0" if i % 7 == 0 else f"s{i % 3}", None)
+        )
+    d = _write_documents(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in SPECS["q161_llr_quality_filter"].spark(spark, d).collect()
+    ]
+    assert got == _duck_on_documents(d, SPECS["q161_llr_quality_filter"].oracle)
+    assert len(got) > 0
+
+
+def test_q161_matches_python_model_on_smoke_corpus(spark):
+    """The full semantics (class-conditional plant + two-class model
+    + midpoint threshold + rollup) recomputed in pure python over the
+    ENTIRE smoke corpus and compared row-for-row, plus both-label
+    non-vacuity corpus-wide."""
+    docs = [
+        (r.doc_id, r.source, r.text)
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    planted = []
+    for did, src, text in docs:
+        t = text
+        if (src == PPL_REF_SOURCE and did % 7 == 0) or did % 23 == 0:
+            t += " " + "qk " * _QK_COPIES
+        if src != PPL_REF_SOURCE and did % 13 == 0:
+            t += " " + "vx " * _VX_COPIES
+        planted.append((did, src, t))
+    want = _model_llr_report(planted, PPL_REF_SOURCE)
+    got = [
+        tuple(r)
+        for r in SPECS["q161_llr_quality_filter"].spark(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    labels = {r[1] for r in got}
+    assert labels == {"keep", "drop"}
+    # the planted strata are non-vacuous: the positive class keeps
+    # its own plant, and at least one non-src0 source has BOTH labels
+    per_src = {}
+    for s, lb, *_ in got:
+        per_src.setdefault(s, set()).add(lb)
+    assert {"keep", "drop"} in [
+        v for k, v in per_src.items() if k != PPL_REF_SOURCE
+    ]
+
+
+def test_q162_stream_equals_batch(spark):
+    """The twin discipline (the q157/q158/q159/q160 class): q162's
+    drained per-doc counter state plus the trained threshold finalize
+    to q161's report row-for-row — every column, identical oracle."""
+    batch = [
+        tuple(r)
+        for r in SPECS["q161_llr_quality_filter"].spark(spark, SF_SMOKE).collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in SPECS["q162_streaming_llr_filter"].spark(spark, SF_SMOKE).collect()
+    ]
+    assert stream == batch and len(batch) > 0

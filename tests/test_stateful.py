@@ -1003,3 +1003,66 @@ def test_streaming_bigram_ppl_resume_from_checkpoint(spark, tmp_path):
 
     tokful = _ppl_augment(docs).filter(FF.size(TXF.words("text")) > 0).count()
     assert len(final) == tokful
+
+
+def test_streaming_llr_filter_resume_from_checkpoint(spark, tmp_path):
+    """q162's per-doc weight-accumulator state joins the per-key
+    streaming family WITH crash-resume evidence in the same round
+    (q158/q160's test shape under the trained classifier): kill
+    between micro-batches, restart from the checkpoint, and the FINAL
+    complete-mode counters must equal the batch-built ones
+    row-for-row — so the keep/drop report finalized from that state
+    (plus the trained threshold and the static weight dim, unchanged
+    across the crash) matches q161 exactly."""
+    import os as _os
+
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation20 import (
+        PPL_REF_SOURCE,
+    )
+    from aws_dla_kinesis_delivery_stream_example_spark.plans.curation22 import (
+        _llr_augment,
+        llr_classifier,
+        llr_counters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    aug = _llr_augment(docs)
+    weights, w_oov, _theta2, _shift = llr_classifier(
+        aug.filter(f"source = '{PPL_REF_SOURCE}'"),
+        aug.filter(f"source <> '{PPL_REF_SOURCE}'"),
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(_os.path.join(src, "b1"))
+
+    def drain(qname):
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src + "/b*")
+        q = (
+            llr_counters(_llr_augment(stream), weights, w_oov)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r[0]: (r[1], r[2], r[3])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    partial = drain("llr_resume_1")
+    assert partial, "first drain built no counters"
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(_os.path.join(src, "b2"))
+    final = drain("llr_resume_2")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in llr_counters(_llr_augment(docs), weights, w_oov).collect()
+    }
+    assert final == want and len(want) > 0
+    assert set(partial) < set(final)
