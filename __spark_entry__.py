@@ -5,23 +5,21 @@ queries()     : every declared operator from SURVEY.md §2 — one
                 callable per QuerySpec in the engine's plan catalog.
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
-Naming: canonical catalog names (``q01..q158`` as of round-16;
-new queries append past that), in a round-17 WINDOW order: the
-driver's correctness artifact records only the FIRST 50 dict
-entries, so this round exposes ``q123..q126 + q136..q139 +
-q32..q35 + q48..q58 + q77..q95 + q127..q131 + q140..q142`` first —
-exactly the round-16 verdict's Next #1: the eight remaining r13
-rows (q123..q126, displaced from the round-16 window, plus
-q136..q139) retire and the oldest r14 block refreshes, leaving
-nothing older than r14 after this round.  Mid-round additions
-seat FIRST when they land (the round-8 principle: never-verified
-beats stale-but-verified) and the displaced tail rolls forward
+Naming: canonical catalog names (``q01..q162`` as of round-17),
+in a round-17 WINDOW order: the driver's correctness artifact
+records only the FIRST 50 dict entries, so this round exposes the
+round-17 additions ``q159..q162`` first (mid-round additions seat
+FIRST when they land — the round-8 principle: never-verified beats
+stale-but-verified), then ``q123..q126 + q136..q139 + q32..q35 +
+q48..q58 + q77..q95 + q127..q130`` — the round-16 verdict's Next
+#1 (retire the eight remaining r13 rows, refresh the oldest r14
+block) minus the four tail seats the additions displaced:
+``q131 + q140..q142`` keep their r14 rows and roll to round 18
 per the standing precedent.  Names are NOT aliased — same
-canonical ``qNN``, same
-QuerySpec, same oracle; only dict insertion order moves.
-Everything outside the window carries fresh r14/r15 rows, so
-nothing loses hard coverage.  The per-round ledger lives in
-README §Rotation and the full-catalog artifact is
+canonical ``qNN``, same QuerySpec, same oracle; only dict
+insertion order moves.  Everything outside the window carries
+r14/r15 rows, so nothing loses hard coverage.  The per-round
+ledger lives in README §Rotation and the full-catalog artifact is
 CORRECTNESS_local_r{N}.json every round.
 """
 
@@ -80,11 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Insertion order is the round-17 window order (module docstring):
-    q123..q126 + q136..q139 + q32..q35 + q48..q58 + q77..q95 +
-    q127..q131 + q140..q142 first, so the driver's 50-entry
-    correctness window retires all eight remaining r13 rows and
-    refreshes the oldest r14 block, then the rest of the catalog in
-    numeric order.
+    q159..q162 (the round-17 additions) + q123..q126 + q136..q139 +
+    q32..q35 + q48..q58 + q77..q95 + q127..q130 first, so the
+    driver's 50-entry correctness window gives the additions their
+    first driver rows, retires all eight remaining r13 rows, and
+    refreshes the oldest r14 block minus the displaced tail; then
+    the rest of the catalog in numeric order.
     """
     specs = all_specs()
     return {

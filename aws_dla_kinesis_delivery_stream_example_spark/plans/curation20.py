@@ -174,22 +174,30 @@ def bucket_expr(m: Column, g: int) -> Column:
     )
 
 
-def ppl_finalize(counters: DataFrame, g: int) -> DataFrame:
-    """The bucket report from the per-doc counter table ALONE
-    (batch-built or drained from streaming state) plus the model
-    constant g: per (source, bucket) doc/token counts and the
-    per-source doc share (milli) — the drained state fully determines
-    the report, so q157 and q158 share this finalize AND the full
-    oracle (identical output, the strongest twin discipline)."""
+def labeled_rollup(
+    counters: DataFrame,
+    label_of,
+    label_name: str,
+    score_col: str = "sum_s",
+) -> DataFrame:
+    """Shared finalize for every per-doc counter family (q157/q158
+    surprisal, q159/q160 bigram, q161/q162 classifier): from the
+    (doc_id, source, n_tok, <score_col>) counter table ALONE —
+    batch-built or drained from streaming state — label each doc by
+    ``label_of(m)`` over the milli mean ``m = 1000 * score div
+    n_tok`` and report per (source, label) doc/token counts plus the
+    per-source doc share (milli).  The drained state fully
+    determines the report, which is what lets each batch/streaming
+    twin pair share this finalize AND one verbatim oracle."""
     c = stage(counters)  # feeds the rollup AND the per-source totals
     lab = c.select(
         "source",
         "n_tok",
-        bucket_expr(F.expr("1000 * sum_s div n_tok").cast("long"), g).alias(
-            "bucket"
-        ),
+        label_of(
+            F.expr(f"1000 * {score_col} div n_tok").cast("long")
+        ).alias(label_name),
     )
-    rollup = lab.groupBy("source", "bucket").agg(
+    rollup = lab.groupBy("source", label_name).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
@@ -204,15 +212,23 @@ def ppl_finalize(counters: DataFrame, g: int) -> DataFrame:
         rollup.join(totals, F.col("source") == F.col("t_source"))
         .select(
             "source",
-            "bucket",
+            label_name,
             "n_docs",
             "n_tokens",
             F.expr("1000 * n_docs div src_docs")
             .cast("long")
             .alias("doc_share_milli"),
         )
-        .orderBy("source", "bucket")
+        .orderBy("source", label_name)
     )
+
+
+def ppl_finalize(counters: DataFrame, g: int) -> DataFrame:
+    """The bucket report from the per-doc counter table ALONE
+    (batch-built or drained from streaming state) plus the model
+    constant g — q157/q158's face of :func:`labeled_rollup`, shared
+    verbatim by the bigram pair q159/q160."""
+    return labeled_rollup(counters, lambda m: bucket_expr(m, g), "bucket")
 
 
 def perplexity_bucket_report(

@@ -77,7 +77,7 @@ from pyspark.sql import functions as F
 from ..operators.staging import stage
 from ..sources.tables import load_table
 from .catalog import query
-from .curation20 import PPL_REF_SOURCE, _bitlen, _tokens
+from .curation20 import PPL_REF_SOURCE, _bitlen, _tokens, labeled_rollup
 
 _QK_COPIES = 25  # positive-characteristic plant copies
 _VX_COPIES = 25  # negative-characteristic plant copies
@@ -203,40 +203,17 @@ def llr_counters(
 def llr_finalize(counters: DataFrame, theta2: int) -> DataFrame:
     """The keep/drop report from the per-doc counter table ALONE
     (batch-built or drained from streaming state) plus the trained
-    threshold: per (source, label) doc/token counts and the
-    per-source doc share (milli) — the drained state fully
-    determines the report, so q161 and q162 share this finalize AND
-    the full oracle (identical-output twins)."""
-    c = stage(counters)  # feeds the rollup AND the per-source totals
-    m = F.expr("1000 * sum_w div n_tok").cast("long")
-    lab = c.select(
-        "source",
-        "n_tok",
-        F.when(F.lit(2) * m >= F.lit(theta2), F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
-    )
-    rollup = lab.groupBy("source", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-    )
-    # renamed join key: the q152/q156/q158 drained-memory-table
-    # disambiguation trap (curation17.py:180-186)
-    totals = c.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("src_docs")
-    ).select(F.col("source").alias("t_source"), "src_docs")
-    return (
-        rollup.join(totals, F.col("source") == F.col("t_source"))
-        .select(
-            "source",
-            "label",
-            "n_docs",
-            "n_tokens",
-            F.expr("1000 * n_docs div src_docs")
-            .cast("long")
-            .alias("doc_share_milli"),
-        )
-        .orderBy("source", "label")
+    threshold — q161/q162's face of :func:`curation20.labeled_rollup`
+    (one shared copy of the rollup/totals machinery incl. the
+    drained-memory-table join trap): keep iff 2*m >= theta2, the
+    training-time midpoint rule."""
+    return labeled_rollup(
+        counters,
+        lambda m: F.when(
+            F.lit(2) * m >= F.lit(theta2), F.lit("keep")
+        ).otherwise(F.lit("drop")),
+        "label",
+        score_col="sum_w",
     )
 
 

@@ -1134,7 +1134,6 @@ def q160_streaming_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_finalize(state, g2)
 
 
-
 @query(
     "q162_streaming_llr_filter",
     # identical oracle to q161: the drained per-doc counter state plus

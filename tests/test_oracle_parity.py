@@ -42,17 +42,18 @@ def test_entry_contract(spark):
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
     # Round-17 window shift (README §Rotation; round-16 verdict Next
-    # #1): exposed names are the canonical catalog names, but
-    # insertion order puts the EXPLICIT window list q123..q126 +
-    # q136..q139 + q32..q35 + q48..q58 + q77..q95 + q127..q131 +
-    # q140..q142 FIRST — all eight remaining r13 rows retire and the
-    # oldest r14 block refreshes; mid-round additions seat FIRST when
-    # they land and the displaced tail rolls forward. The tail is in
-    # NUMERIC query order (lexicographic would slot q100 between q10
-    # and q11). No aNN aliases. Additions past q158 would sort after
-    # the window until seated. The sort key is the entry module's own
-    # (one source of truth); the window invariant is asserted
-    # independently below.
+    # #1 plus the mid-round-addition precedent): exposed names are
+    # the canonical catalog names, but insertion order puts the
+    # EXPLICIT window list q159..q162 (the round-17 additions, seated
+    # FIRST when they landed) + q123..q126 + q136..q139 + q32..q35 +
+    # q48..q58 + q77..q95 + q127..q130 FIRST — all eight remaining
+    # r13 rows retire and the oldest r14 block refreshes minus the
+    # displaced tail (q131 + q140..q142 roll to round 18). The tail
+    # is in NUMERIC query order (lexicographic would slot q100
+    # between q10 and q11). No aNN aliases. Additions past q162
+    # would sort after the window until seated. The sort key is the
+    # entry module's own (one source of truth); the window invariant
+    # is asserted independently below.
     import re as _re
 
     assert list(qs) == sorted(SPECS, key=mod._catalog_order), (
