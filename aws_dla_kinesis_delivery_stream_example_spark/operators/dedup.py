@@ -80,16 +80,8 @@ def shingle_jaccard_pairs(
     # string: Jaccard is invariant under an injective mapping, the join
     # key shrinks ~4x, and the Python hash pass beats interpreted
     # string-building (see _shingle_hash_rows).
-    sh = _shingle_hash_rows(df, id_col, text_col, n).withColumnRenamed("h", "shingle")
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "left_semi")
-    sh = stage(sh)  # caller releases via staging.release_staging()
+    sh = stage(_capped_shingles(df, id_col, text_col, n, max_df))
+    # caller releases via staging.release_staging()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -111,6 +103,67 @@ def shingle_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _capped_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """(doc, shingle) rows with the optional max_df valve applied —
+    the shared prefix of shingle_jaccard_pairs and
+    shared_shingle_pairs. NOT staged here: each caller stages at the
+    boundary its own consumer count requires."""
+    sh = _shingle_hash_rows(df, id_col, text_col, n).withColumnRenamed("h", "shingle")
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    return sh
+
+
+def shared_shingle_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs (doc_a < doc_b) sharing >= 1
+    (df-capped) shingle — exactly ``shingle_jaccard_pairs(threshold=0)``
+    projected to its id columns, without the jaccard arithmetic.
+
+    Every co-occurring pair has n_inter >= 1 and a positive union size,
+    so jaccard > 0 always passes a threshold-0 filter: the per-doc
+    sizes aggregation and the two size joins of the jaccard form are
+    provably dead weight for a caller that only wants the co-occurrence
+    graph (q107's edge derivation; its oracle derives edges straight
+    from the intersect CTE). Dropping them removes one corpus-keyed
+    aggregation and two joins from the plan (guide §1.2 step 1: don't
+    compute things you throw away) at any scale.
+
+    The staged shingle frame serves the self-join's two sides; the
+    caller releases via ``staging.release_staging()`` (same contract as
+    shingle_jaccard_pairs). Equivalence to the threshold-0 jaccard form
+    is pinned in tests/test_round8b_ops.py.
+    """
+    sh = stage(_capped_shingles(df, id_col, text_col, n, max_df))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -347,10 +400,22 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
     iterative min-label propagation. Returns (doc, cluster_id) where
     cluster_id = min doc id in the component.
 
-    Driver-side loop, data-side joins: each iteration is one join +
-    aggregate; `localCheckpoint` truncates lineage so the plan stays
-    flat. Plain one-hop min propagation converges in O(diameter)
-    iterations — NOT O(log): the min label moves one edge per round.
+    Driver-side loop, data-side joins: each iteration is ONE join +
+    ONE aggregation — the label rebuild `min(own, min over neighbors)`
+    folds the propagated labels and the node's own label in a single
+    hash agg over their union (round-17 fusion; previously each round
+    paid a second, node-sized left join to re-attach own labels).
+    Convergence is detected from the label-sum invariant: min-label
+    propagation only ever DECREASES labels, so the per-round sum of
+    cluster_ids (summed exactly, as decimal(38,0), so corpus-scale id
+    sums cannot wrap int64) is strictly decreasing until the fixpoint
+    and equal sums <=> no label changed — one scalar aggregate per
+    round over the checkpointed labels, replacing the old
+    changed-count job, with the previous round's sum remembered on the
+    driver instead of re-derived. `localCheckpoint` truncates lineage
+    so the plan stays flat. Plain one-hop min propagation converges in
+    O(diameter) iterations — NOT O(log): the min label moves one edge
+    per round.
     That is the right trade here because dedup components are near-
     cliques in practice (every copy pairs with every other, diameter
     1-2), so 2-3 iterations suffice at any scale and each keeps the
@@ -378,29 +443,24 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
         .distinct()
         .withColumn("cluster_id", F.col("doc"))
     )
+    prev_sum = None
     while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "_changed"
-                ),
+        labels = (
+            edges.join(
+                labels.select(F.col("doc").alias("dst"), "cluster_id"), "dst"
             )
+            .select(F.col("src").alias("doc"), "cluster_id")
+            .unionAll(labels)
+            .groupBy("doc")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum is None or cur_sum == prev_sum:
+            break  # empty graph, or fixpoint (sum is strictly decreasing)
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 

@@ -45,20 +45,32 @@ def pagerank_fixed_point(
     staging job must execute: the edges⋈deg probe re-derives the
     union's two pair branches on top of deg's own two), measured
     9.4 s -> 6.4 s at sf0.1 by carrying dg through the ranks instead.
-    Each iteration is one shuffle join (edges x ranks on src, dg and r
-    ride along) + one hash agg (contributions by dst) + one node-sized
-    join — linear in edges. The per-iteration rank frame is staged:
-    each iteration consumes the previous ranks TWICE (contribution
-    join + rank rebuild), so an unstaged loop re-derives the previous
-    iteration's lineage down both branches — measured 31 exchanges at
-    3 iterations (~2x per round) vs a flat 5 staged. The input pair
-    list is NOT staged: its own expensive prefix (the shingle join) is
-    already staged inside the pair operator, and a second cache layer
-    only adds a materialization barrier (measured slower).
 
-    Lineage at iters >> 3: persisting per-iteration keeps the WORK
-    linear but the logical plan tree still nests one level per
-    iteration (an unbounded driver-side analysis/optimization cost and
+    Each iteration is ONE shuffle join + ONE hash aggregation, both
+    linear in edges: the previous ranks project (src, c = r div dg) —
+    node-sized — join the edges on src, and the aggregation by dst
+    rebuilds the next rank frame directly, because on a SYMMETRIC edge
+    list the in-degree of dst equals its degree: count(*) of the
+    received contributions IS dg, so no node-sized rebuild join is
+    needed to re-attach it (round-17 optimization; previously each
+    iteration paid a third operator — ranks ⋈ contributions — per
+    round: q107 measured 7.6 -> 4.2 s at sf0.1, min-of-3, with this
+    fusion plus the loop de-staging below and the threshold-0 pair
+    derivation).
+
+    The per-iteration rank frame is NOT staged: with the rebuild join
+    fused away, each rank frame has exactly ONE consumer (the next
+    iteration's projection), so the lineage chain is linear — caching
+    it would only add a materialization barrier and one extra job per
+    iteration. The round-8 hazard that forced staging — two consumers
+    per iteration re-deriving the previous round's lineage down both
+    branches, ~2x exchanges per round — no longer exists in this
+    shape. The input pair list is NOT staged either: its own expensive
+    prefix (the shingle join) is already staged inside the pair
+    operator.
+
+    Lineage at iters >> 3: the logical plan tree nests one join/agg
+    level per iteration (an unbounded driver-side analysis cost and
     eventual StackOverflow at tens of iterations) — so every
     ``checkpoint_every`` iterations the rank frame is
     ``localCheckpoint``-ed, truncating lineage to the node-sized
@@ -83,21 +95,19 @@ def pagerank_fixed_point(
             # truncate lineage: the checkpoint replaces the nested
             # join/agg tree with a leaf scan of the materialized ranks
             ranks = ranks.localCheckpoint()
-        ranks = stage(ranks)
-        contrib = (
-            edges.join(
-                ranks.select(F.col("doc").alias("src"), "dg", "r"), "src"
-            )
-            .select("dst", F.expr("r div dg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+        contrib = ranks.select(
+            F.col("doc").alias("src"), F.expr("r div dg").alias("c")
         )
-        ranks = ranks.join(contrib, ranks["doc"] == contrib["dst"]).select(
-            "doc",
-            "dg",
-            (F.lit(PR_TELEPORT) + F.expr("85 * contrib div 100"))
-            .cast("long")
-            .alias("r"),
+        ranks = (
+            edges.join(contrib, "src")
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(
+                # symmetric graph: #received contributions == degree
+                F.count(F.lit(1)).alias("dg"),
+                (F.lit(PR_TELEPORT) + F.expr("85 * sum(c) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
         )
     return ranks.select(
         "doc", F.col("dg").cast("long").alias("degree"), F.col("r").alias("rank_u")

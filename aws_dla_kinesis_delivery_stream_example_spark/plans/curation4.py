@@ -372,32 +372,29 @@ def _pr_oracle() -> str:
     tags=("llm", "graph", "similarity", "iterative"),
 )
 def q107_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: edges come from the df-capped shingle join (q55's
-    max_df=10 valve bounds candidate fan-out; the graph is near-dup
-    pairs, not all pairs); the symmetric edge list WITH per-source
-    degree is staged once and every iteration reuses it — per
-    iteration: one shuffle join (edges x ranks on src) + one hash agg
-    (contributions by dst) + one node-sized join, all linear in edges.
-    Ranks live in BIGINT micro-units with truncating integer division,
-    so contribution sums are order-independent — the property that
-    lets AQE re-plan each iteration freely without touching the
-    result. The symmetric graph has in-degree == out-degree >= 1, so
-    there are no dangling nodes by construction. Iteration count is a
-    compile-time constant (catalog spec); the operator loop is plain
-    Python over DataFrames, each round a new Catalyst plan on the
-    staged edge frame (the q49 component-loop discipline).
-
-    The per-iteration rank frame is staged: each iteration consumes
-    the previous ranks TWICE (contribution join + rank rebuild), so an
-    unstaged loop re-derives the previous iteration's whole lineage
-    down both branches — measured 31 exchanges for 3 iterations
-    (~2x growth per round) vs a flat 5 staged. Budget pinned in
+    """Scale shape: edges come from the df-capped shingle co-occurrence
+    join (q55's max_df=10 valve bounds candidate fan-out; the graph is
+    near-dup pairs, not all pairs) via shared_shingle_pairs — the
+    threshold here is 0, so the jaccard arithmetic of the q55 form
+    (per-doc sizes aggregation + two size joins) is dead weight and is
+    skipped; the oracle's `inter` CTE derives edges the same way. Per
+    iteration: one shuffle join (edges x rank projection on src) + one
+    hash agg by dst that rebuilds the rank frame directly — on the
+    symmetric edge list count(*) of received contributions IS the
+    degree, so no node-sized rebuild join (round-17 fusion, see
+    operators/graph.py::pagerank_fixed_point). Ranks live in BIGINT
+    micro-units with truncating integer division, so contribution sums
+    are order-independent — the property that lets AQE re-plan each
+    iteration freely without touching the result. The symmetric graph
+    has in-degree == out-degree >= 1, so there are no dangling nodes
+    by construction. Iteration count is a compile-time constant
+    (catalog spec); the operator loop is plain Python over DataFrames,
+    each round a new Catalyst plan on the staged edge frame (the q49
+    component-loop discipline). Budget pinned in
     tests/test_plan_shapes.py. Logic lives in
     operators/graph.py::pagerank_fixed_point (hand-computed lattice
     test in tests/test_round8b_ops.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.shingle_jaccard_pairs(
-        docs, "doc_id", "text", n=5, threshold=0.0, max_df=10
-    ).select("doc_a", "doc_b")
+    pairs = dedup.shared_shingle_pairs(docs, "doc_id", "text", n=5, max_df=10)
     return graph.pagerank_fixed_point(pairs, iters=_PR_ITERS).orderBy("doc")

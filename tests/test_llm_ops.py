@@ -545,6 +545,21 @@ def test_duplicate_clusters_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_duplicate_clusters_long_chain_and_empty(spark):
+    """Round-17 convergence rework (label-sum fixpoint instead of a
+    changed-count job): a diameter-5 chain needs 5 propagation rounds
+    — the monotone-sum criterion must not stop early — and an EMPTY
+    pair list (sum aggregate returns NULL) must terminate immediately
+    with zero label rows rather than loop."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    out = {r.doc: r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
+    assert out == {i: 1 for i in range(1, 8)}
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.duplicate_clusters(empty).collect() == []
+
+
 def test_cluster_survivors_picks_best_quality_with_min_id_ties(spark):
     """Planted clusters with hand-built scores: the survivor must be
     the argmax-score member (NOT min id), ties break to min id, and

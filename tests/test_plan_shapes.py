@@ -159,10 +159,19 @@ def test_round8_exchange_budgets(spark):
         ("q104_weighted_sample", 4),  # salted window + source window + sort
         ("q105_rolling_zscore", 3),  # ONE WindowExec pass (3 frame aggs share it) + sort
         ("q106_source_overlap", 8),  # sizes agg + per-shingle fold + pair agg + 2 bcast joins + sort
-        # q107: staged edges + staged per-iteration ranks; the final
-        # round's join/agg/join + sort — UNstaged rank lineage doubles
-        # per iteration (measured 31 at 3 iters)
-        ("q107_doc_pagerank", 7),
+        # q107 (re-pinned round 17): the rank-rebuild join is fused
+        # into the per-iteration aggregation (symmetric graph:
+        # count(*) of received contributions == degree) and the rank
+        # frames are no longer staged — each has exactly ONE consumer,
+        # so the whole 3-iteration loop is one linear plan above the
+        # staged edges. The static plan therefore SHOWS the loop's
+        # exchanges (degree agg + per-iteration join+agg; measured 8)
+        # where the old per-iteration staging hid all but the final
+        # round behind InMemoryTableScan leaves (old pin 7 counted
+        # only that last round). Runtime dropped 7.6 -> 4.2 s at
+        # sf0.1 (min-of-3); at execution AQE broadcasts the node-sized
+        # rank side, so the edges are never reshuffled locally.
+        ("q107_doc_pagerank", 9),
     ):
         df = all_specs()[name].spark(spark, SF)
         try:

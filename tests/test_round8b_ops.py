@@ -217,6 +217,41 @@ def test_pagerank_fixed_point_hand_lattice(spark):
     assert out[3] == {"doc": 3, "degree": 1, "rank_u": 629187}
 
 
+def test_shared_shingle_pairs_equals_threshold0_jaccard(spark):
+    """q107's edge derivation (round-17 fast path): shared_shingle_pairs
+    must return exactly shingle_jaccard_pairs(threshold=0) projected to
+    (doc_a, doc_b) — same shingling, same max_df valve, minus the dead
+    jaccard arithmetic. Checked with and without the df cap on a corpus
+    that exercises both branches (a boilerplate shingle shared by many
+    docs, plus rare-shingle near-dups)."""
+    from aws_dla_kinesis_delivery_stream_example_spark.operators import dedup
+    from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
+        release_staging,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, boiler + f" unique tail {i} alpha beta gamma delta") for i in range(6)]
+    rows += [(10, "one two three four five six seven"), (11, "one two three four five six eight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        for cap in (None, 3):
+            fast = {
+                (r.doc_a, r.doc_b)
+                for r in dedup.shared_shingle_pairs(
+                    docs, "doc_id", "text", n=5, max_df=cap
+                ).collect()
+            }
+            full = {
+                (r.doc_a, r.doc_b)
+                for r in dedup.shingle_jaccard_pairs(
+                    docs, "doc_id", "text", n=5, threshold=0.0, max_df=cap
+                ).collect()
+            }
+            assert fast == full and fast, (cap, fast, full)
+    finally:
+        release_staging()
+
+
 def test_pagerank_symmetric_mass_and_isolated_pair(spark):
     """A disconnected 2-clique keeps the fixed point: both nodes have
     deg 1 and contribute their full rank to each other, so rank stays
