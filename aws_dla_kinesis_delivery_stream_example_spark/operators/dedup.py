@@ -82,6 +82,16 @@ def shingle_jaccard_pairs(
     # string-building (see _shingle_hash_rows).
     sh = stage(_capped_shingles(df, id_col, text_col, n, max_df))
     # caller releases via staging.release_staging()
+    return _jaccard_pairs_on(sh, threshold)
+
+
+def _jaccard_pairs_on(sh: DataFrame, threshold: float) -> DataFrame:
+    """The jaccard core of shingle_jaccard_pairs over an ALREADY-STAGED
+    (doc, shingle) frame — split out so callers that have the shingle
+    rows in hand (minhash_calibration_report shares ONE corpus shingle
+    pass between the exact-truth and MinHash sides) skip a second
+    Arrow pass + materialization. `sh` must be staged by the caller:
+    it feeds three consumers (sizes + both self-join sides)."""
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -302,7 +312,12 @@ def cdc_chunk_rows(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 5,
+    _hash_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>) — min over n universal hashes of the
     shingle-hash set. One narrow map + one groupBy(id) aggregate.
@@ -312,8 +327,19 @@ def minhash_signatures(
     31-bit base space is harmless for MinHash (collisions only merge
     shingles before the min, a vanishing perturbation of the estimate)
     — unlike the jaccard/contamination family, which needs the full
-    60-bit space (see _shingle_hash_rows)."""
-    sh = _shingle_hash_rows(df, id_col, text_col, shingle_n, mod=_MERSENNE)
+    60-bit space (see _shingle_hash_rows).
+
+    ``_hash_rows``: optional precomputed (doc, h) rows ALREADY folded
+    mod 2^31-1 (i.e. pmod of the 60-bit _shingle_hash_rows output —
+    bit-identical to passing mod= into the Arrow pass, since the
+    60-bit h is non-negative). Lets a caller that already shingled
+    the same frame (minhash_calibration_report) skip a second full
+    corpus text pass; equivalence pinned in tests/test_llm_ops.py."""
+    sh = (
+        _hash_rows
+        if _hash_rows is not None
+        else _shingle_hash_rows(df, id_col, text_col, shingle_n, mod=_MERSENNE)
+    )
     # h_i(x) = (a_i*x + b_i) mod p, fixed odd a_i / b_i derived from i.
     mins = [
         F.min(F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(1_000_003 * (i + 1)), F.lit(_MERSENNE))).alias(f"mh{i}")
@@ -331,6 +357,7 @@ def minhash_near_duplicates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    _hash_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, equi-join on
     (band_idx, band_hash) to get candidates, verify candidates with the
@@ -354,7 +381,9 @@ def minhash_near_duplicates(
     rows = n_hashes // bands
     # Signature computation (shingle + 64 min-aggs) feeds both join
     # sides — materialize once (staging table at 100 TB).
-    sig = stage(minhash_signatures(df, id_col, text_col, n_hashes, shingle_n))
+    sig = stage(
+        minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, _hash_rows)
+    )
     # Narrow band join: only (doc, band) rows shuffle; the 64-long
     # signatures re-attach AFTER pair dedup, so candidate multiplicity
     # never multiplies the signature payload (the shuffle-size property
@@ -887,12 +916,22 @@ def minhash_calibration_report(
     at 100 TB one runs it on a sampled stratum to pick bands/hashes
     before committing the full dedup job. Cost = the two candidate
     generators it audits; the join of their outputs is pair-set-sized.
+
+    The two generators SHARE one corpus shingle pass (round 17): both
+    shingle at n=5, and the MinHash base hash is exactly the 60-bit
+    hash folded mod 2^31-1, so one staged 60-bit (doc, h) frame feeds
+    the exact-jaccard side directly and the MinHash side through a
+    pmod projection — halving the operator's full-corpus text passes
+    (guide §1.2 step 1: the dominant cost at 100 TB is reading and
+    tokenizing the corpus, and this audit was doing it twice).
     """
-    truth = shingle_jaccard_pairs(
-        docs, id_col, text_col, threshold=threshold, max_df=None
+    sh60 = stage(_shingle_hash_rows(docs, id_col, text_col, 5))
+    truth = _jaccard_pairs_on(
+        sh60.withColumnRenamed("h", "shingle"), threshold
     ).select("doc_a", "doc_b", F.round(F.col("jaccard") * 1000, 0).cast("long").alias("ej_exact_milli"))
+    h31 = sh60.select("doc", F.pmod(F.col("h"), F.lit(_MERSENNE)).alias("h"))
     cand = minhash_near_duplicates(
-        docs, id_col, text_col, threshold=threshold
+        docs, id_col, text_col, threshold=threshold, _hash_rows=h31
     ).select(
         "doc_a", "doc_b",
         F.round(F.col("est_jaccard") * 1000, 0).cast("long").alias("ej_est_milli"),

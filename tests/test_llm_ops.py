@@ -67,6 +67,32 @@ def test_shingle_ops_tolerate_null_text(spark):
     assert {r.doc for r in sigs} == {1, 3}
 
 
+def test_minhash_signatures_hash_rows_path_identical(spark, planted_docs):
+    """Round-17 shared-shingle-pass optimization (q114/q142): feeding
+    minhash_signatures the 60-bit _shingle_hash_rows output folded with
+    pmod(h, 2^31-1) must reproduce EXACTLY the signatures of the
+    internal mod= Arrow path — the property that lets
+    minhash_calibration_report shingle the corpus once instead of
+    twice."""
+    from pyspark.sql import functions as F
+
+    direct = {
+        r.doc: list(r.signature)
+        for r in dedup.minhash_signatures(planted_docs, "doc_id", "text").collect()
+    }
+    sh60 = dedup._shingle_hash_rows(planted_docs, "doc_id", "text", 5)
+    folded = sh60.select(
+        "doc", F.pmod(F.col("h"), F.lit(dedup._MERSENNE)).alias("h")
+    )
+    shared = {
+        r.doc: list(r.signature)
+        for r in dedup.minhash_signatures(
+            planted_docs, "doc_id", "text", _hash_rows=folded
+        ).collect()
+    }
+    assert direct == shared and direct
+
+
 def test_minhash_estimates_jaccard(spark, planted_docs):
     """MinHash estimate within 0.2 of exact Jaccard on candidate pairs."""
     exact = {
