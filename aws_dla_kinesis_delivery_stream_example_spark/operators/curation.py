@@ -687,10 +687,13 @@ def fuzzy_contamination(
     """
     from .dedup import _shingle_hash_rows
 
-    bench_sh = (
-        _shingle_hash_rows(benchmark, id_col, text_col, n)
-        .select(F.col("doc").alias("_bid"), F.col("h").alias("shingle"))
-        .distinct()
+    # No .distinct() here (round 17): _shingle_hash_rows already emits
+    # per-doc-distinct shingles, and the pair set is deduplicated after
+    # the blocking join anyway — the old distinct was a dead exchange +
+    # aggregation on the broadcast build path (one full stage barrier
+    # before the blocking join could start).
+    bench_sh = _shingle_hash_rows(benchmark, id_col, text_col, n).select(
+        F.col("doc").alias("_bid"), F.col("h").alias("shingle")
     )
     cand_sh = _shingle_hash_rows(candidates, id_col, text_col, n).select(
         F.col("doc").alias("_cid"), F.col("h").alias("shingle")

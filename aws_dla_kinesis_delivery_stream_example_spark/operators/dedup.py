@@ -481,8 +481,14 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
             .select(F.col("src").alias("doc"), "cluster_id")
             .unionAll(labels)
             .groupBy("doc")
+            # LAZY checkpoint: the convergence sum right below is the
+            # round's one action and materializes it — eager would pay
+            # a separate job per round just to store the same rows
+            # (round 17: 2 jobs/round -> 1). Lineage is truncated
+            # either way (the checkpoint replaces the join/agg tree
+            # with an RDD scan in every downstream plan).
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
