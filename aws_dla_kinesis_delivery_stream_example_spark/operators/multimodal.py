@@ -412,7 +412,13 @@ def synthesize_gray_bmp(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     ensure_shipped(documents.sparkSession)
-    return documents.select("doc_id").mapInPandas(
+    from .staging import spread_scan
+
+    # spread_scan: ~288 md5 calls + a BMP encode per row make this the
+    # package's heaviest per-row Python pass, and the bench scan feeds
+    # it as ONE task; the spread frame is doc_id-only (8 B/row), so the
+    # gated repartition is near-free here and a no-op at scale.
+    return spread_scan(documents.select("doc_id")).mapInPandas(
         run, schema="media_id long, payload binary"
     )
 

@@ -67,6 +67,35 @@ def staged_elsewhere() -> int:
         return _GLOBAL_STAGED - len(_registry())
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Parallelism floor for a HEAVYWEIGHT per-row Python pass fed by
+    an under-split scan: if the physical input produces fewer
+    partitions than the session's default parallelism, round-robin
+    repartition up to it; otherwise pass through (and streaming frames
+    always pass through). The .rdd.getNumPartitions() probe is
+    driver-side physical planning of the narrow scan subtree — no job.
+
+    Scope discipline (round 17, measured): apply ONLY where the Python
+    work is milliseconds-per-row and the spread frame is narrow (id
+    columns). Blanket use on the cheap tokenize passes was MEASURED
+    SLOWER (q26 1.67 -> 2.67 s, q28 3.17 -> 5.41 s): the extra
+    exchange + task scheduling outweighs sub-second single-threaded
+    work, and a repartition below an unstaged frame hides scan
+    statistics from the join planner. For the image-synthesis/decode
+    pass (~0.5 ms/row of md5+codec work over a doc_id-only input) the
+    trade inverts — see multimodal.synthesize_gray_bmp. At 100 TB the
+    input has thousands of splits and the gate makes this a no-op;
+    locally the bench tables are one-row-group parquet = one scan task
+    (guide §2.5's unsplittable-input remedy, gated)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def stage(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it (on this thread's registry) for a
     later :func:`release_staging`."""

@@ -48,7 +48,7 @@ def _resolve(names: list[str]) -> list[str]:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["time", "plan", "check"])
+    p.add_argument("mode", choices=["time", "plan", "check", "profile"])
     p.add_argument("names", nargs="+")
     p.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--repeats", type=int, default=3)
@@ -79,6 +79,51 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
             print(f"TIME {name} {best:.3f}", flush=True)
+    elif args.mode == "profile":
+        # Job/stage/task census for one warm run: where the fixed
+        # costs are (how many jobs a query launches, how many stages
+        # and tasks each runs) — the local-mode proxy for the UI's
+        # Jobs page, since spark.ui is disabled in this sandbox.
+        from aws_dla_kinesis_delivery_stream_example_spark.sources.tables import (
+            TABLES,
+            load_table,
+        )
+
+        for t in TABLES:
+            load_table(spark, args.sf, t).count()
+        sc = spark.sparkContext
+        for name in names:
+            # warm run (codegen/caches), then the measured run
+            specs[name].spark(spark, args.sf).collect()
+            release_staging()
+            spark.catalog.clearCache()
+            group = f"prof_{name}"
+            sc.setJobGroup(group, name)
+            t0 = time.perf_counter()
+            specs[name].spark(spark, args.sf).collect()
+            took = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
+            st = sc.statusTracker()
+            jobs = st.getJobIdsForGroup(group)
+            n_stages = 0
+            n_tasks = 0
+            for j in jobs:
+                ji = st.getJobInfo(j)
+                if ji is None:
+                    continue
+                for s in ji.stageIds:
+                    si = st.getStageInfo(s)
+                    if si is not None:
+                        n_stages += 1
+                        n_tasks += si.numTasks
+            print(
+                f"PROFILE {name} {took:.3f}s jobs={len(jobs)} "
+                f"stages={n_stages} tasks={n_tasks}",
+                flush=True,
+            )
+            release_staging()
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
     elif args.mode == "plan":
         for name in names:
             df = specs[name].spark(spark, args.sf)
