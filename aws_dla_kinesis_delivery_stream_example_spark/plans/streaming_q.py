@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketch as _SK
-from ..sources.tables import normalize_event_time
+from ..sources.tables import normalize_event_time, parquet_schema
 from ..streaming import windows as SW
 from .catalog import query
 from .curation6 import SKEW_ORACLE as _SKEW_ORACLE
@@ -141,7 +141,14 @@ def _stream_table_closed(
         if provider is not None:
             spark.conf.set(_PROVIDER_CONF, provider)
         src = os.path.join(sf_dir, f"{table}.parquet")
-        schema = spark.read.parquet(src).schema
+        # Reader schema from the parquet footer driver-side: the
+        # spark.read.parquet(...)-schema probe this replaced launched a
+        # 1-task inference JOB per drain — pure fixed cost x 23
+        # streaming catalog queries (round-17 verdict Next #4; guide
+        # §6). parquet_schema maps footer types under THIS session's
+        # confs (nanosAsLong/NTZ set just above), equality pinned in
+        # tests/test_round18_schema.py.
+        schema = parquet_schema(spark, src)
         # The streaming file source wants a directory or a glob; the
         # canonical table is a single file, so glob it (zero-copy).
         stream = spark.readStream.schema(schema).parquet(src + "*")

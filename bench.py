@@ -145,11 +145,39 @@ def _state_store_label() -> str:
     return "hdfs" if _state_store_conf() is None else "rocksdb"
 
 
+def _cpu_row() -> list[int]:
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu "):
+                return [int(x) for x in line.split()[1:]]
+    return []
+
+
+def _host_canary(before: list[int], after: list[int]) -> dict[str, float]:
+    """Steal/iowait share of THIS sweep's wall clock (round-17 verdict
+    Next #8: the noise attribution must be machine-checkable, not
+    narrative). Same /proc/stat arithmetic as scripts/host_quiet.py,
+    sampled over the whole sweep instead of a 10 s probe."""
+    if not before or not after:
+        return {}
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d) or 1
+    names = ["user", "nice", "sys", "idle", "iowait", "irq", "softirq", "steal"]
+    pct = {n: round(100.0 * v / tot, 2) for n, v in zip(names, d)}
+    return {
+        "steal_pct": pct.get("steal", 0.0),
+        "iowait_pct": pct.get("iowait", 0.0),
+        "busy_pct": round(100.0 - pct.get("idle", 0.0), 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
+    cpu0 = _cpu_row()
     t_all0 = time.perf_counter()
     timings = bench_queries(spark)
     wall = round(time.perf_counter() - t_all0, 3)
+    canary = _host_canary(cpu0, _cpu_row())
     ok = {k: v for k, v in timings.items() if isinstance(v, (int, float))}
     errs = sorted(k for k in timings if k not in ok)
     total = round(sum(ok.values()), 3)
@@ -190,6 +218,10 @@ def main() -> None:
         "n_queries_ok": len(ok),
         "query_errors": errs,
         "total_prev_catalog_q01_q95": prev_total,
+        # Round-17 verdict Next #8: the host canary recorded WITH the
+        # sweep, so neighbor-steal noise attribution is checkable from
+        # the artifact itself (steal ~0% = trust the numbers).
+        "host_canary": canary,
     }
     # Full-fidelity sidecar: the external driver captures only the
     # LAST ~2 KB of stdout, which truncated q100+'s timings out of
@@ -214,8 +246,26 @@ def main() -> None:
         if isinstance(v, dict):
             compact[_short(k)] = {"err": str(v.get("err", ""))[:80]}
         else:
-            compact[_short(k)] = v
-    line = dict(result, queries=compact, full_results="bench_full.json")
+            # 2 decimals ON THE LINE ONLY (10 ms granularity — far
+            # below run-to-run noise); bench_full.json keeps 3.
+            compact[_short(k)] = round(v, 2)
+    # Round-17 verdict Next #2 (the r16 line overflowed the driver's
+    # ~2.1 KB tail capture and killed the round-over-round table):
+    # keep the one JSON line BOUNDED — contract keys + the per-query
+    # map at 2 decimals; everything bulky (repeats/agg/state_store/
+    # sweep_wall/host_canary/prev-catalog subtotal, 3-decimal
+    # timings, full names) lives in bench_full.json.
+    line = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "sf": SF_DIR,
+        "delivery_rec_per_s": tps,
+        "n_queries_ok": len(ok),
+        "query_errors": errs,
+        "full_results": "bench_full.json",
+    }
     print(json.dumps(line, separators=(",", ":")))
 
 
