@@ -537,8 +537,13 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = stage(e.join(nd_ids, "doc_id", "left_semi"))
 
     # 3 — quality gate (q85's model at the pipeline's stricter bar;
-    # p_u was computed once into the staged `e`)
-    qual = stage(nd.filter(F.col("p_u") >= _PIPE_QUALITY_MIN))
+    # p_u was computed once into the staged `e`). NOT staged (round
+    # 18): it is a pure narrow filter on a COLUMN of the staged `nd`,
+    # so each of its consumers re-runs just the filter over the cached
+    # frame — staging it paid a full materialization pass for zero
+    # avoided recomputation (guide §5: cache only when recomputing is
+    # more expensive than the memory pressure).
+    qual = nd.filter(F.col("p_u") >= _PIPE_QUALITY_MIN)
 
     # 4 — decontamination vs the benchmark docs (broadcast shingle set)
     hits = curation.contaminated_ids(qual, bench, "doc_id", "text", n=4)
@@ -553,31 +558,54 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum") <= _PIPE_BUDGET
     )
 
-    # funnel audit: one tiny agg per stage, left-joined off the input
-    def _f(df, name):
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+    # funnel audit (round 18): ONE union + ONE aggregation. The old
+    # shape ran one groupBy(source) per stage and left-joined six
+    # tiny frames together — 6 aggregation exchanges + 5 broadcast
+    # joins for seven numbers. Every stage is a (source, stage-tag)
+    # projection of an already-staged cut, so unioning the
+    # projections and folding them in a single conditional agg does
+    # the same arithmetic with ONE exchange; partial aggregation
+    # collapses each branch map-side before it (guide §2.4/§2.3).
+    # Stage sets are nested (kept ⊆ dec ⊆ qual ⊆ nd ⊆ e ⊆ inp), so
+    # grouping the union by source yields exactly the sources of
+    # `inp` — the old left-join spine — and a count-if per tag equals
+    # the old per-stage counts (absent stage -> 0, the old coalesce).
+    def _t(df, st):
+        return df.select(
+            "source", F.lit(st).alias("st"), F.lit(0).cast("long").alias("tok")
+        )
 
-    funnel = (
-        _f(inp, "n_input")
-        .join(_f(e, "n_exact"), "source", "left")
-        .join(_f(nd, "n_neardup"), "source", "left")
-        .join(_f(qual, "n_quality"), "source", "left")
-        .join(_f(dec, "n_decontam"), "source", "left")
-        .join(
-            kept.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.sum("n_tok").alias("tokens_kept"),
-            ),
-            "source",
-            "left",
+    u = (
+        _t(inp, 0)
+        .unionAll(_t(e, 1))
+        .unionAll(_t(nd, 2))
+        .unionAll(_t(qual, 3))
+        .unionAll(_t(dec, 4))
+        .unionAll(
+            kept.select(
+                "source",
+                F.lit(5).alias("st"),
+                F.col("n_tok").cast("long").alias("tok"),
+            )
         )
     )
+
+    def _n(st, name):
+        return F.count(F.when(F.col("st") == st, 1)).alias(name)
+
     zero = F.lit(0).cast("long")
-    return funnel.select(
-        "source",
-        "n_input",
-        *[
-            F.coalesce(F.col(c), zero).alias(c)
-            for c in ("n_exact", "n_neardup", "n_quality", "n_decontam", "n_kept", "tokens_kept")
-        ],
-    ).orderBy("source")
+    return (
+        u.groupBy("source")
+        .agg(
+            _n(0, "n_input"),
+            _n(1, "n_exact"),
+            _n(2, "n_neardup"),
+            _n(3, "n_quality"),
+            _n(4, "n_decontam"),
+            _n(5, "n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("st") == 5, F.col("tok"))), zero
+            ).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

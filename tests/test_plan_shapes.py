@@ -119,14 +119,15 @@ def test_exchange_budgets_hold(spark):
 
 
 def test_q95_staged_exchange_budget(spark):
-    """q95's docstring claim ('96 exchanges naive vs ~20 staged') as a
-    pinned assertion: the exchange count ABOVE the stage() boundaries
-    (tree walk, cached subtrees excluded) is 12 as of round 8; budget
-    16 allows AQE broadcast->shuffle swaps. Dropping one stage() call
-    re-derives that stage's whole chain prefix inside every funnel
-    aggregate and blows far past the budget (verified: removing the
-    `qual` stage alone pushes the count to 20+), so this fails CI
-    instead of silently restoring the quadratic re-derivation."""
+    """q95's staged-funnel shape as a pinned assertion: the exchange
+    count ABOVE the stage() boundaries (tree walk, cached subtrees
+    excluded) was 12 as of round 8 (one agg exchange per funnel stage
+    + five joins); the round-18 union-funnel rewrite folds the whole
+    audit into ONE conditional aggregation over a union of staged-cut
+    projections, measured 3 (funnel agg + token-budget window + final
+    sort). Budget 6 allows AQE broadcast->shuffle swaps. A creeping
+    return of per-stage aggregation exchanges fails here instead of
+    silently re-growing the old 12-exchange funnel."""
     from aws_dla_kinesis_delivery_stream_example_spark.operators.staging import (
         release_staging,
     )
@@ -136,7 +137,7 @@ def test_q95_staged_exchange_budget(spark):
         n = _exchanges_above_staging(df._jdf.queryExecution().executedPlan())
     finally:
         release_staging()
-    assert n <= 16, f"q95: {n} exchanges above staging (budget 16)"
+    assert n <= 6, f"q95: {n} exchanges above staging (budget 6)"
 
 
 def test_round8_exchange_budgets(spark):
