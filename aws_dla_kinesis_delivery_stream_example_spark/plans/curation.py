@@ -545,9 +545,17 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more expensive than the memory pressure).
     qual = nd.filter(F.col("p_u") >= _PIPE_QUALITY_MIN)
 
-    # 4 — decontamination vs the benchmark docs (broadcast shingle set)
-    hits = curation.contaminated_ids(qual, bench, "doc_id", "text", n=4)
-    dec = stage(qual.join(hits, "doc_id", "left_anti"))
+    # 4 — decontamination vs the benchmark docs (broadcast shingle
+    # set). Stage the HIT-ID LIST (tiny — contaminated ids only), not
+    # the decontaminated document frame: dec's two consumers re-run
+    # only a broadcast anti-join over the cached `nd` filter, while
+    # stage(dec) materialized a second full copy of the surviving
+    # documents (text included) to avoid recomputing exactly that
+    # cheap join. The expensive part — the shingle pass inside
+    # contaminated_ids — runs once either way because `hits` is what
+    # is cached (guide §5).
+    hits = stage(curation.contaminated_ids(qual, bench, "doc_id", "text", n=4))
+    dec = qual.join(hits, "doc_id", "left_anti")
 
     # 5 — per-source token budget in doc_id order
     tokc = dec.select("source", "doc_id", TX.bpe_token_count("text").alias("n_tok"))
