@@ -193,13 +193,20 @@ def bigram_counters(
     model: (doc_id, source, n_tok, sum_s) — q157's counter schema, so
     :func:`curation20.ppl_finalize` serves this face verbatim.
 
-    The three model lookups are stateless LEFT joins (in streaming:
+    The model lookups are stateless LEFT joins (in streaming:
     stream-static joins — the model frames are the static dims, the
-    q158 pattern times three), UNHINTED: the corpus-sized pair stream
-    joins Zipf-bounded build sides, so AQE broadcasts them at any
-    scale.  The single groupBy(doc_id) agg is count/sum/min —
-    mergeable, so the SAME function serves the batch face and
-    complete-mode streaming state (q160).  HONEST state note: per-doc
+    q158 pattern), UNHINTED: the corpus-sized pair stream joins
+    Zipf-bounded build sides, so AQE broadcasts them at any scale.
+    Round 18: the context table is folded INTO the pair dim before
+    the corpus pass — ``ctxn`` is only read when the pair MATCHED,
+    and every retained pair's ``prev`` is in ``ctx`` by construction
+    (ctx aggregates the pair frame), so ``pairs ⋈ ctx`` is an
+    equivalent single dim and the corpus-sized side crosses TWO
+    stream-static joins instead of three (the third join moved to
+    the model side, where both inputs are Zipf-bounded; guide §3).
+    The single groupBy(doc_id) agg is count/sum/min — mergeable, so
+    the SAME function serves the batch face and complete-mode
+    streaming state (q160).  HONEST state note: per-doc
     accumulators, the q145/q91/q158 per-key family."""
     bl_n = n_ref.bit_length()
     s1 = F.when(
@@ -210,10 +217,10 @@ def bigram_counters(
         .otherwise(F.lit(1) + s1)
         .cast("long")
     )
+    dim = pairs.join(ctx, "prev")
     scored = (
         bigram_pairs(docs)
-        .join(pairs, ["prev", "tok"], "left")
-        .join(ctx, "prev", "left")
+        .join(dim, ["prev", "tok"], "left")
         .join(vocab, "tok", "left")
         .select("doc_id", "source", s.alias("s"))
     )
@@ -357,9 +364,10 @@ def q159_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     combines per (prev, tok) before its one exchange, ctx/vocab
     re-aggregate the Zipf-bounded pair frame (module docstring bound;
     min_pair_count hard-caps it); (2) the corpus pass is pair
-    construction (narrow) + THREE left joins against Zipf-bounded
-    model frames, UNHINTED — AQE broadcasts every build side at any
-    scale — then ONE per-doc exchange; (3) the report rollup reuses
+    construction (narrow) + TWO left joins against Zipf-bounded
+    model frames (the context counts ride pre-joined on the pair dim
+    since round 18), UNHINTED — AQE broadcasts every build side at
+    any scale — then ONE per-doc exchange; (3) the report rollup reuses
     q157's ppl_finalize (|sources|-scale).  Model scalars (n_ref, g2)
     are a bounded 1-row collect (the trained LM's constants, the q75
     convention).  Budget pinned

@@ -1093,8 +1093,8 @@ def q158_streaming_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="STREAMING bigram-surprisal audit: q159's per-doc "
     "accumulators maintained as complete-mode streaming aggregation "
     "state while documents arrive, each micro-batch scored against "
-    "the STATIC pre-trained bigram-backoff model via THREE "
-    "stream-static LEFT joins (pair table, context counts, backoff "
+    "the STATIC pre-trained bigram-backoff model via TWO "
+    "stream-static LEFT joins (pair⋈context dim, backoff "
     "unigrams — q158's one static dim grown to the full KenLM-shaped "
     "model, all fixed at training time); the drained state plus the "
     "model constants finalize the identical report — the live "
@@ -1104,11 +1104,12 @@ def q158_streaming_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "llm", "curation", "quality"),
 )
 def q160_streaming_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the plant, pair construction, and all three model
+    """Scale shape: the plant, pair construction, and both model
     lookups run INSIDE the stream — pair construction is scan-side
     narrow, the lookups are stream-static LEFT joins against
     Zipf-bounded model frames (broadcast-sized at any corpus scale,
-    hard-capped by min_pair_count in library mode), and the single
+    hard-capped by min_pair_count in library mode; the context
+    counts ride pre-joined on the pair dim since round 18), and the single
     groupBy(doc_id) agg collapses each micro-batch map-side before
     touching state.  HONEST state note: per-DOCUMENT accumulators (2
     BIGINTs + source) — the q145/q91/q158 per-key family, growing
