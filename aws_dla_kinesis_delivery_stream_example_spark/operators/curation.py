@@ -691,7 +691,13 @@ def fuzzy_contamination(
     # per-doc-distinct shingles, and the pair set is deduplicated after
     # the blocking join anyway — the old distinct was a dead exchange +
     # aggregation on the broadcast build path (one full stage barrier
-    # before the blocking join could start).
+    # before the blocking join could start). ASSUMPTION (round-17
+    # advisor): benchmark ids are unique per frame — per-ROW dedup
+    # means a re-ingested bench doc under the same id would broadcast
+    # duplicate (bid, shingle) rows and fan out duplicate join hits
+    # (results stay correct via pairs.distinct(); only the broadcast
+    # build and join output inflate). Catalog callers pass the
+    # driver's unique-id bench split.
     bench_sh = _shingle_hash_rows(benchmark, id_col, text_col, n).select(
         F.col("doc").alias("_bid"), F.col("h").alias("shingle")
     )

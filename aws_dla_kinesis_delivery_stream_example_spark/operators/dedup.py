@@ -23,6 +23,7 @@ reference has no dedup; this is the mandated extension surface
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
 
 from .staging import stage
 
@@ -472,6 +473,20 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
         .distinct()
         .withColumn("cluster_id", F.col("doc"))
     )
+    # The sum-based convergence test is only sound for NUMERIC ids: a
+    # non-numeric id (e.g. string doc keys) casts to NULL, F.sum
+    # returns NULL, and the None-break below would silently return
+    # under-merged clusters after one round (round-17 advisor). Fail
+    # loudly at entry instead; with numeric non-null ids, a NULL sum
+    # means exactly "labels is empty" (decimal(38,0) overflow needs
+    # ~1e28 corpus-scale ids — out of scope by construction).
+    id_type = labels.schema["cluster_id"].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            "duplicate_clusters: ids must be numeric for the sum-based "
+            f"convergence test; got {id_type.simpleString()} — map ids "
+            "to a numeric key (e.g. xxhash64) before clustering"
+        )
     prev_sum = None
     while True:
         labels = (

@@ -32,17 +32,20 @@ from aws_dla_kinesis_delivery_stream_example_spark.session import get_spark  # n
 
 
 def _resolve(names: list[str]) -> list[str]:
+    """Exact catalog names or ``qNN`` prefixes only (round-17 advisor:
+    the old bare-prefix fallback expanded 'q1' to every q1xx query and
+    attributed the ledger numbers to the wrong selector)."""
     specs = all_specs()
     out = []
     for n in names:
-        hits = [k for k in specs if k == n or k.startswith(n + "_") or k.startswith(n)]
-        exact = [k for k in hits if k == n or k.split("_")[0] == n]
-        if exact:
-            out.extend(sorted(exact))
-        elif hits:
-            out.extend(sorted(hits))
-        else:
-            raise SystemExit(f"no catalog query matches {n!r}")
+        hits = sorted(k for k in specs if k == n or k.startswith(n + "_"))
+        if not hits:
+            raise SystemExit(
+                f"no catalog query matches {n!r} (use the exact name or its qNN prefix)"
+            )
+        if len(hits) > 1:
+            raise SystemExit(f"ambiguous selector {n!r}: {hits}")
+        out.extend(hits)
     return out
 
 

@@ -586,6 +586,19 @@ def test_duplicate_clusters_long_chain_and_empty(spark):
     assert dedup.duplicate_clusters(empty).collect() == []
 
 
+def test_duplicate_clusters_rejects_non_numeric_ids(spark):
+    """Round-17 advisor: string ids cast to NULL under the sum-based
+    convergence test and would silently return under-merged clusters —
+    the operator must fail loudly at entry instead."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        dedup.duplicate_clusters(pairs)
+
+
 def test_cluster_survivors_picks_best_quality_with_min_id_ties(spark):
     """Planted clusters with hand-built scores: the survivor must be
     the argmax-score member (NOT min id), ties break to min id, and
