@@ -6,20 +6,22 @@ queries()     : every declared operator from SURVEY.md §2 — one
 oracle_sql()  : matching DuckDB SQL for every SQL-expressible query.
 
 Naming: canonical catalog names (``q01..q162`` as of round-17),
-in a round-17 WINDOW order: the driver's correctness artifact
-records only the FIRST 50 dict entries, so this round exposes the
-round-17 additions ``q159..q162`` first (mid-round additions seat
-FIRST when they land — the round-8 principle: never-verified beats
-stale-but-verified), then ``q123..q126 + q136..q139 + q32..q35 +
-q48..q58 + q77..q95 + q127..q130`` — the round-16 verdict's Next
-#1 (retire the eight remaining r13 rows, refresh the oldest r14
-block) minus the four tail seats the additions displaced:
-``q131 + q140..q142`` keep their r14 rows and roll to round 18
-per the standing precedent.  Names are NOT aliased — same
-canonical ``qNN``, same QuerySpec, same oracle; only dict
-insertion order moves.  Everything outside the window carries
-r14/r15 rows, so nothing loses hard coverage.  The per-round
-ledger lives in README §Rotation and the full-catalog artifact is
+in a round-18 WINDOW order: the driver's correctness artifact
+records only the FIRST 50 dict entries, so this round seats (the
+round-17 verdict's Next #1) every round-17-TOUCHED query first —
+``q95 q107 q114 q119 q142 q146 q49 q94`` (five of the eight were
+outside the r17 window; their oracle status rested on the
+builder's local run) — then the owed roll-forward ``q131 q140
+q141``, then the round-18-touched paths ``q138 q139 q159 q160``
+(SNM keyed staging, bigram dim fold), then ALL remaining
+streaming drains (every drain's reader schema now comes from the
+driver-side footer read instead of a Spark inference job), then
+``q01..q15`` — the oldest remaining r14/r15 rows.  Names are NOT
+aliased — same canonical ``qNN``, same QuerySpec, same oracle;
+only dict insertion order moves.  Everything outside the window
+carries r16/r17 rows (q161/q162's llr path is untouched this
+round, so they keep their fresh r17 rows).  The per-round ledger
+lives in README §Rotation and the full-catalog artifact is
 CORRECTNESS_local_r{N}.json every round.
 """
 
@@ -33,22 +35,21 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_dla_kinesis_delivery_stream_example_spark.plans import all_specs
 
 # The driver's 50-entry window this round, as an EXPLICIT ordered list
-# of catalog numbers (round 17; round-16 verdict "Next round #1"):
-# the round-17 additions q159..q162 seat FIRST (never-driver-verified
-# beats stale-but-verified — the standing precedent), then
-# q123..q126 (displaced from the round-16 window, the oldest r13
-# rows) + q136..q139 (the other four r13 rows) + the oldest r14
-# block q32..q35 + q48..q58 + q77..q95 + q127..q130.
-# The displaced tail (q131, q140..q142) rolls to round 18.  Exactly
-# 50 entries.
+# of catalog numbers (round 18; round-17 verdict "Next round #1"):
+# every r17-touched query seats FIRST (q107/q114/q119/q142/q146 were
+# outside the r17 window — their oracle claims must get driver rows),
+# then the owed roll-forward q131+q140+q141, the round-18-touched
+# paths (q138/q139 SNM keyed staging, q159/q160 bigram dim fold), all
+# remaining streaming drains (the round-18 footer-schema reader path),
+# and the oldest remaining r14/r15 rows q01..q15.  Exactly 50 entries.
 _WINDOW: list[int] = (
-    list(range(159, 163))
-    + list(range(123, 127))
-    + list(range(136, 140))
-    + list(range(32, 36))
-    + list(range(48, 59))
-    + list(range(77, 96))
-    + list(range(127, 131))
+    [95, 107, 114, 119, 142, 146, 49, 94]      # r17-touched (verdict #1)
+    + [131, 140, 141]                           # owed roll-forward
+    + [138, 139, 159, 160]                      # r18-touched paths
+    + [50, 51, 56, 57, 73, 83, 91, 108, 113,    # streaming drains:
+       121, 129, 134, 136, 144, 145, 150,       # footer-schema path
+       152, 154, 156, 158]
+    + list(range(1, 16))                        # oldest r14/r15 rows
 )
 assert len(_WINDOW) == 50
 _WINDOW_POS = {n: i for i, n in enumerate(_WINDOW)}
